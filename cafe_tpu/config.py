@@ -1,0 +1,125 @@
+"""Run configuration.
+
+Mirrors the reference CLI surface (ArtifactEvaluation/main.py:136-186) so task
+grids written for the reference (tasks/*.json) drive this framework unchanged,
+plus TPU-specific knobs (mesh shape, precision policy) that have no reference
+equivalent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # model
+    model: str = "dlrm"  # dlrm | wdl | dcn
+    # data
+    data_path: str = ""
+    dataset: str = "criteo"  # criteo | criteotb | avazu | kdd12 | criteotb13 | synthetic
+    # model shape
+    embedding_dim: int = 16
+    max_ind_range: int = -1
+    # embedding compression
+    compress_method: Optional[str] = None  # None|hash|mde|qr|ada|cafe|off|full
+    compress_rate: float = 0.001
+    # mde
+    md_round_dims: bool = False
+    # cafe knobs (same semantics as reference --cafe_*)
+    cafe_sketch_threshold: float = 500.0
+    cafe_hash_rate: float = 0.5
+    cafe_decay: float = 0.99
+    cafe_hot_separate_field: bool = False
+    cafe_use_freq: bool = False
+    # CAFE+ (TOIS) two-tier sketch options
+    cafe_plus: bool = False            # use two-tier staged sketch w/ adaptive threshold
+    cafe_adjust_threshold: bool = True
+    cafe_alpha: float = 1.000001       # lazy-decay growth per batch
+    # training
+    mini_batch_size: int = 128
+    test_mini_batch_size: int = 16384
+    nepochs: int = 1
+    learning_rate: float = 0.01
+    optimizer: str = "sgd"  # sgd | adagrad
+    numpy_rand_seed: int = 123
+    # eval cadence
+    inference_only: bool = False
+    test_freq: int = -1
+    print_freq: int = 1
+    test_throughput: bool = False
+    # io
+    save_model: str = ""
+    load_model: str = ""
+    tensor_board_filename: str = "run_tpu"
+    # synthetic dataset knobs (test backbone; reference analogue is the dead
+    # RandomDataset path, dlrm_data_pytorch.py:759-872)
+    synthetic_rows: int = 65536
+    synthetic_fields: int = 8
+    synthetic_vocab: int = 100000
+    synthetic_dense: int = 13
+    synthetic_zipf: float = 1.05
+    # TPU-specific
+    mesh_shape: Optional[int] = None   # number of devices for the data axis; None = all
+    shard_embeddings: bool = False     # row-shard tables + sketch over the mesh
+    bf16: bool = False                 # bfloat16 matmuls in the dense towers
+    # misc
+    num_workers: int = 0               # unused; kept for reference-flag compat
+    test_num_workers: int = 0
+    use_gpu: bool = True               # unused; kept for reference-flag compat
+    print_time: bool = True
+    print_wall_time: bool = False
+    print_precision: int = 5
+
+    @property
+    def method(self) -> str:
+        m = self.compress_method
+        return "full" if m in (None, "None", "none", "") else m
+
+
+def _str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train a CTR model on TPU.")
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        default = f.default
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            p.add_argument(name, type=_str2bool, default=default)
+        elif f.name == "compress_method":
+            p.add_argument(name, type=str, default=None,
+                           choices=[None, "hash", "mde", "qr", "ada", "cafe",
+                                    "off", "full"])
+        elif f.name == "mesh_shape":
+            p.add_argument(name, type=int, default=None)
+        elif isinstance(default, int):
+            p.add_argument(name, type=int, default=default)
+        elif isinstance(default, float):
+            p.add_argument(name, type=float, default=default)
+        else:
+            p.add_argument(name, type=str, default=default)
+    return p
+
+
+def parse_args(argv=None) -> Config:
+    ns = build_parser().parse_args(argv)
+    return Config(**vars(ns))
+
+
+def from_json(path: str) -> Config:
+    """Load a config from a task-style JSON dict (flat key->value)."""
+    with open(path) as f:
+        d = json.load(f)
+    valid = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in d.items() if k in valid})

@@ -1,0 +1,137 @@
+"""Offline preprocessing: raw CSV/TSV -> binary memmap format.
+
+Replicates the contract of ArtifactEvaluation/datasets/process_data.py:
+  * dense features  -> log(1 + x), missing -> 0          (process_data.py:64-73)
+  * sparse features -> per-field label encoding, each field an independent
+    contiguous id space starting at 0                    (process_data.py:75-86)
+  * outputs processed_{sparse_sep,dense,label,count}.bin
+
+Implemented as a streaming two-pass encoder (pass 1: collect per-field
+vocabularies; pass 2: encode) so terabyte-scale inputs never need to fit in
+memory — the reference's CriteoTB path does the same with pickled unique sets
+(process_data.py:106-162).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+from typing import List, Optional
+
+import numpy as np
+
+
+class StreamingEncoder:
+    def __init__(self, num_dense: int, num_sparse: int,
+                 label_col: int = 0, dense_cols: Optional[List[int]] = None,
+                 sparse_cols: Optional[List[int]] = None, sep: str = "\t",
+                 clip_label: bool = False):
+        self.num_dense = num_dense
+        self.num_sparse = num_sparse
+        self.label_col = label_col
+        self.dense_cols = dense_cols or list(range(1, 1 + num_dense))
+        self.sparse_cols = (sparse_cols
+                            or list(range(1 + num_dense,
+                                          1 + num_dense + num_sparse)))
+        self.sep = sep
+        self.clip_label = clip_label
+        self.vocabs: List[dict] = [dict() for _ in range(num_sparse)]
+
+    def collect(self, path: str) -> None:
+        with open(path, "r") as f:
+            for line in f:
+                cols = line.rstrip("\n").split(self.sep)
+                for j, c in enumerate(self.sparse_cols):
+                    v = cols[c] if c < len(cols) else ""
+                    vocab = self.vocabs[j]
+                    if v not in vocab:
+                        vocab[v] = len(vocab)
+
+    def encode(self, paths: List[str], out_dir: str,
+               chunk_rows: int = 1_000_000) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        counts = np.array([len(v) for v in self.vocabs], dtype=np.int32)
+        counts.tofile(osp.join(out_dir, "processed_count.bin"))
+        sp_f = open(osp.join(out_dir, "processed_sparse_sep.bin"), "wb")
+        de_f = (open(osp.join(out_dir, "processed_dense.bin"), "wb")
+                if self.num_dense else None)
+        la_f = open(osp.join(out_dir, "processed_label.bin"), "wb")
+        sp_buf, de_buf, la_buf = [], [], []
+
+        def flush():
+            if sp_buf:
+                np.asarray(sp_buf, dtype=np.int32).tofile(sp_f)
+                sp_buf.clear()
+            if de_f is not None and de_buf:
+                np.asarray(de_buf, dtype=np.float32).tofile(de_f)
+                de_buf.clear()
+            if la_buf:
+                np.asarray(la_buf, dtype=np.int32).tofile(la_f)
+                la_buf.clear()
+
+        for path in paths:
+            with open(path, "r") as f:
+                for line in f:
+                    cols = line.rstrip("\n").split(self.sep)
+                    lab = cols[self.label_col]
+                    lab = int(float(lab)) if lab else 0
+                    if self.clip_label:  # kdd12 clicks>1 -> 1
+                        lab = min(lab, 1)
+                    la_buf.append(lab)
+                    if self.num_dense:
+                        row = []
+                        for c in self.dense_cols:
+                            v = cols[c] if c < len(cols) else ""
+                            row.append(np.log1p(float(v)) if v not in
+                                       ("", None) and float(v) >= 0 else 0.0)
+                        de_buf.append(row)
+                    srow = []
+                    for j, c in enumerate(self.sparse_cols):
+                        v = cols[c] if c < len(cols) else ""
+                        srow.append(self.vocabs[j].get(v, 0))
+                    sp_buf.append(srow)
+                    if len(sp_buf) >= chunk_rows:
+                        flush()
+        flush()
+        sp_f.close()
+        la_f.close()
+        if de_f is not None:
+            de_f.close()
+
+
+def process_criteo(in_path: str, out_dir: str) -> None:
+    enc = StreamingEncoder(num_dense=13, num_sparse=26, sep="\t")
+    enc.collect(in_path)
+    enc.encode([in_path], out_dir)
+
+
+def process_avazu(in_path: str, out_dir: str) -> None:
+    # avazu csv: id,click,hour,C1,...  -> drop id, label=click, 22 sparse
+    enc = StreamingEncoder(num_dense=0, num_sparse=22, label_col=1,
+                           sparse_cols=list(range(2, 24)), sep=",")
+    enc.collect(in_path)
+    enc.encode([in_path], out_dir)
+
+
+def process_kdd12(in_path: str, out_dir: str) -> None:
+    enc = StreamingEncoder(num_dense=0, num_sparse=11, label_col=0,
+                           sparse_cols=list(range(1, 12)), sep="\t",
+                           clip_label=True)
+    enc.collect(in_path)
+    enc.encode([in_path], out_dir)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Preprocess raw CTR data.")
+    p.add_argument("--dataset", required=True,
+                   choices=["criteo", "avazu", "kdd12"])
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    args = p.parse_args(argv)
+    {"criteo": process_criteo, "avazu": process_avazu,
+     "kdd12": process_kdd12}[args.dataset](args.input, args.output)
+
+
+if __name__ == "__main__":
+    main()

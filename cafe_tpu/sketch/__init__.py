@@ -1,0 +1,19 @@
+from .hotsketch import (
+    HotSketchConfig,
+    HotSketchState,
+    init_sketch,
+    sketch_query,
+    sketch_insert,
+    rebuild_free_list,
+)
+from .oracle import OracleSketch
+
+__all__ = [
+    "HotSketchConfig",
+    "HotSketchState",
+    "init_sketch",
+    "sketch_query",
+    "sketch_insert",
+    "rebuild_free_list",
+    "OracleSketch",
+]

@@ -1,0 +1,262 @@
+"""HotSketch: a device-resident bucketized Space-Saving sketch.
+
+Functional JAX re-design of the reference's sequential C++ sketch
+(ArtifactEvaluation/embeddings/sketch.cpp:9-151). Semantics preserved:
+
+* `S` buckets x `C` cells; each cell holds (id, score, hot-slot).
+* An id's score accumulates on every insert; crossing `threshold` promotes it
+  to an exclusive hot-embedding slot drawn from a free pool (sketch.cpp:89-103).
+* New ids take an empty cell; if the bucket is full, the min-score cell is
+  evicted Space-Saving style — the newcomer *inherits* the victim's count
+  (sketch.cpp:113-124) — unless that cell is protected by a hot slot.
+* When total accumulated score exceeds S*threshold*10, all counters decay
+  multiplicatively and hot ids falling below threshold are demoted, returning
+  their slots to the pool (sketch.cpp:76-88, 135, 144).
+
+What is re-designed for TPU (sequential -> batch-parallel, all under jit):
+
+* The C++ processes ids one-by-one; here a batch is sorted + deduplicated
+  (segment-summing duplicate scores) so matched-cell updates become
+  conflict-free scatters.
+* The std::queue free list becomes a device-side stack (`free`, `free_top`);
+  batched promotions allocate slots by prefix-sum rank, demotions push slots
+  back with a masked scatter.
+* Placement of brand-new ids can conflict when two batch ids hash to the same
+  bucket; a fixed number of resolution rounds (write -> read-back winner ->
+  losers retry) reproduces the sequential fill order for up to
+  `insert_rounds` colliders per bucket per step. Residual losers simply retry
+  on a later batch — statistically negligible and bounded.
+* In-bucket cells are NOT kept sorted by score (sketch.cpp:104-109 keeps them
+  sorted so cell 3 is the min); the eviction victim is found with argmin
+  instead, which is the same semantics without the data movement.
+
+Determinism: given the same batch contents, the result is bit-identical
+regardless of intra-batch ordering (sort-by-id canonicalizes processing
+order), which is *stronger* than the reference (whose result depends on
+occurrence order within the batch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Sentinel for padded/invalid lanes; sorts to the end of any real id range.
+INVALID_ID = np.int32(2**31 - 1)
+
+_HASH_MULT = np.uint32(2654435761)  # Knuth multiplicative hash
+
+
+class HotSketchConfig(NamedTuple):
+    """Static configuration (hashable; closed over by jit)."""
+
+    buckets: int          # S; == hot-slot limit `lim` in the reference
+    threshold: float      # promotion threshold k
+    decay: float = 0.99   # multiplicative decay rate
+    cells: int = 4        # C cells per bucket
+    insert_rounds: int = 2  # conflict-resolution rounds for new-id placement
+
+    @property
+    def hot_limit(self) -> int:
+        # usable hot slots are 1..buckets-1 (0 means "not hot"), matching
+        # sketch.cpp:38-39 where ids 1..lim-1 seed the queue.
+        return self.buckets
+
+
+class HotSketchState(NamedTuple):
+    """Device-array sketch state; a checkpointable pytree."""
+
+    val: jnp.ndarray       # int32 [S, C] stored ids (valid where cnt > 0)
+    cnt: jnp.ndarray       # float32 [S, C] accumulated importance
+    dic: jnp.ndarray       # int32 [S, C] hot slot (0 = cold)
+    free: jnp.ndarray      # int32 [S] stack of free hot slots
+    free_top: jnp.ndarray  # int32 [] number of valid entries in `free`
+    tot: jnp.ndarray       # float32 [] score mass since last decay
+
+
+def init_sketch(cfg: HotSketchConfig) -> HotSketchState:
+    s, c = cfg.buckets, cfg.cells
+    free = np.zeros(s, dtype=np.int32)
+    free[: s - 1] = np.arange(1, s, dtype=np.int32)
+    return HotSketchState(
+        val=jnp.zeros((s, c), dtype=jnp.int32),
+        cnt=jnp.zeros((s, c), dtype=jnp.float32),
+        dic=jnp.zeros((s, c), dtype=jnp.int32),
+        free=jnp.asarray(free),
+        free_top=jnp.asarray(s - 1, dtype=jnp.int32),
+        tot=jnp.asarray(0.0, dtype=jnp.float32),
+    )
+
+
+def _bucket_of(cfg: HotSketchConfig, ids: jnp.ndarray) -> jnp.ndarray:
+    h = ids.astype(jnp.uint32) * _HASH_MULT
+    return (h % jnp.uint32(cfg.buckets)).astype(jnp.int32)
+
+
+def sketch_query(cfg: HotSketchConfig, state: HotSketchState,
+                 ids: jnp.ndarray) -> jnp.ndarray:
+    """For each id return -hot_slot if hot else the id itself
+    (sketch.cpp:45-53's convention: negative means hot)."""
+    h = _bucket_of(cfg, ids)
+    bv = state.val[h]                    # [B, C]
+    bc = state.cnt[h]
+    bd = state.dic[h]
+    m = (bc > 0) & (bv == ids[:, None]) & (bd != 0)
+    slot = jnp.max(jnp.where(m, bd, 0), axis=1)
+    return jnp.where(slot > 0, -slot, ids)
+
+
+def _decay(cfg: HotSketchConfig, state: HotSketchState) -> HotSketchState:
+    """Multiplicative decay + demotion of hot ids dropping below threshold
+    (sketch.cpp:76-88)."""
+    s = cfg.buckets
+    demote = (state.dic != 0) & (state.cnt * cfg.decay < cfg.threshold)
+    dflat = demote.reshape(-1)
+    dic_flat = state.dic.reshape(-1)
+    # push freed slots onto the stack via masked scatter
+    pos = state.free_top + jnp.cumsum(dflat.astype(jnp.int32)) - 1
+    pos = jnp.where(dflat, pos, s)  # out-of-range -> dropped
+    free = state.free.at[pos].set(dic_flat, mode="drop")
+    free_top = state.free_top + dflat.sum(dtype=jnp.int32)
+    return state._replace(
+        cnt=state.cnt * cfg.decay,
+        dic=jnp.where(demote, 0, state.dic),
+        free=free,
+        free_top=free_top,
+        tot=jnp.zeros_like(state.tot),
+    )
+
+
+class InsertResult(NamedTuple):
+    """Newly promoted ids, laid out in the insert's internal (sorted) order.
+
+    `slots[i]` is valid only where `mask[i]`; (`ids[i]`, `slots[i]`) pairs
+    drive hot-row migration (weight_high[slot] <- weight_hash[id % hash]).
+    """
+
+    ids: jnp.ndarray   # int32 [B]
+    slots: jnp.ndarray  # int32 [B]
+    mask: jnp.ndarray  # bool  [B]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
+                  ids: jnp.ndarray, scores: jnp.ndarray,
+                  ) -> Tuple[HotSketchState, InsertResult]:
+    """Batched insert of (id, importance) pairs.
+
+    Padded lanes must carry id == INVALID_ID (their scores are ignored).
+    Equivalent to the reference's batch_insert_val loop (sketch.cpp:142-150)
+    with intra-batch duplicates pre-combined.
+    """
+    b = ids.shape[0]
+    s, c = cfg.buckets, cfg.cells
+    k = jnp.float32(cfg.threshold)
+
+    valid_in = ids != INVALID_ID
+    scores = jnp.where(valid_in, scores, 0.0)
+
+    # occasional global decay (sketch.cpp:135: tot > s*k*10)
+    state = jax.lax.cond(
+        state.tot > jnp.float32(s) * k * 10.0,
+        lambda st: _decay(cfg, st),
+        lambda st: st,
+        state,
+    )
+
+    # ---- sort + dedup: duplicate ids fold into one lane with summed score
+    order = jnp.argsort(ids)
+    sid = ids[order]
+    ssc = scores[order]
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    seg = jnp.cumsum(head) - 1
+    seg_tot = jax.ops.segment_sum(ssc, seg, num_segments=b)
+    uscore = seg_tot[seg]                       # at head lanes: group total
+    active0 = head & (sid != INVALID_ID)
+
+    h = _bucket_of(cfg, sid)
+    lanes = jnp.arange(b)
+
+    val, cnt, dic = state.val, state.cnt, state.dic
+    free, free_top = state.free, state.free_top
+    promo_slot = jnp.zeros(b, jnp.int32)
+    pending = active0
+
+    for _ in range(cfg.insert_rounds):
+        bv = val[h]            # [B, C]
+        bc = cnt[h]
+        bd = dic[h]
+        occ = bc > 0.0
+        m = occ & (bv == sid[:, None])
+        is_matched = m.any(axis=1) & pending
+        cell_m = jnp.argmax(m, axis=1)
+
+        # matched: conflict-free accumulate
+        add = jnp.where(is_matched, uscore, 0.0)
+        new_cnt = bc[lanes, cell_m] + add
+        cnt = cnt.at[h, cell_m].add(add)
+
+        # promotion: matched, over threshold, cold, and a slot is available
+        pcand = is_matched & (new_cnt >= k) & (bd[lanes, cell_m] == 0)
+        rank = jnp.cumsum(pcand.astype(jnp.int32))       # 1-based at cands
+        slot_idx = free_top - rank
+        can = pcand & (slot_idx >= 0)
+        slot = jnp.where(can, free[jnp.clip(slot_idx, 0, s - 1)], 0)
+        hp = jnp.where(can, h, s)
+        dic = dic.at[hp, cell_m].set(slot, mode="drop")
+        free_top = free_top - can.sum(dtype=jnp.int32)
+        promo_slot = jnp.where(can, slot, promo_slot)
+
+        # new-id placement into an empty cell
+        un = pending & ~is_matched
+        has_empty = (~occ).any(axis=1)
+        cell_e = jnp.argmax(~occ, axis=1)
+        place = un & has_empty
+        hplace = jnp.where(place, h, s)
+        val = val.at[hplace, cell_e].set(sid, mode="drop")
+        won_place = place & (val[h, cell_e] == sid)
+        cnt = cnt.at[jnp.where(won_place, h, s), cell_e].set(
+            uscore, mode="drop")
+
+        # bucket full: evict the min-score cell unless it is hot; the
+        # newcomer inherits the victim's count (Space-Saving).
+        evict = un & ~has_empty
+        cell_v = jnp.argmin(bc, axis=1)
+        can_evict = evict & (bd[lanes, cell_v] == 0)
+        hev = jnp.where(can_evict, h, s)
+        val = val.at[hev, cell_v].set(sid, mode="drop")
+        won_evict = can_evict & (val[h, cell_v] == sid)
+        cnt = cnt.at[jnp.where(won_evict, h, s), cell_v].add(
+            jnp.where(won_evict, uscore, 0.0), mode="drop")
+
+        done = is_matched | won_place | won_evict | (evict & ~can_evict)
+        pending = pending & ~done
+
+    new_state = HotSketchState(
+        val=val, cnt=cnt, dic=dic, free=free, free_top=free_top,
+        tot=state.tot + scores.sum(),
+    )
+    res = InsertResult(ids=sid, slots=promo_slot, mask=promo_slot > 0)
+    return new_state, res
+
+
+def rebuild_free_list(cfg: HotSketchConfig,
+                      state: HotSketchState) -> HotSketchState:
+    """Rebuild the free stack by scanning slot occupancy — the reference's
+    post-checkpoint-load `update()` (sketch.cpp:61-75)."""
+    s = cfg.buckets
+    used = jnp.zeros(s, bool).at[state.dic.reshape(-1)].set(True)
+    used = used.at[0].set(True)  # slot 0 is the "cold" sentinel
+    order = jnp.argsort(used, stable=True)  # unused slot indices first
+    n_free = (~used).sum(dtype=jnp.int32)
+    return state._replace(free=order.astype(jnp.int32), free_top=n_free)
+
+
+def hot_fraction(state: HotSketchState) -> jnp.ndarray:
+    """Fraction of hot slots currently allocated (diagnostic)."""
+    return (state.dic != 0).sum() / max(1, state.dic.shape[0] - 1)

@@ -1,0 +1,126 @@
+"""Data layer tests: binary format round-trip, split semantics, batching."""
+
+import numpy as np
+import pytest
+
+from cafe_tpu.data import (
+    batch_iterator,
+    load_dataset,
+    make_synthetic_arrays,
+    num_batches,
+    write_synthetic_dataset,
+)
+from cafe_tpu.data.datasets import generate_hot_features
+from cafe_tpu.data.preprocess import StreamingEncoder
+
+
+def test_synthetic_shapes():
+    a = make_synthetic_arrays(rows=1000, fields=5, vocab=50, dense=3, seed=1)
+    assert a.sparse.shape == (1000, 5)
+    assert a.dense.shape == (1000, 3)
+    assert a.label.shape == (1000,)
+    assert (a.counts == 50).all()
+    assert a.sparse.max() < 50 and a.sparse.min() >= 0
+    assert set(np.unique(a.label)) <= {0, 1}
+
+
+def test_synthetic_is_skewed():
+    a = make_synthetic_arrays(rows=20000, fields=1, vocab=1000, zipf=1.3)
+    counts = np.bincount(a.sparse[:, 0], minlength=1000)
+    top = np.sort(counts)[-10:].sum()
+    assert top > 0.3 * counts.sum()  # top-1% of ids dominate
+
+
+def test_roundtrip_and_criteo_split(tmp_path):
+    path = str(tmp_path / "ds")
+    a = write_synthetic_dataset(path, rows=700, fields=26, vocab=100,
+                                dense=13, seed=2)
+    train = load_dataset("criteo", path, "train")
+    test = load_dataset("criteo", path, "test")
+    assert len(train) == 700 * 6 // 7
+    assert len(train) + len(test) == 700
+    np.testing.assert_array_equal(np.asarray(train.sparse[0]), a.sparse[0])
+    np.testing.assert_array_equal(np.asarray(test.label),
+                                  a.label[700 * 6 // 7:])
+
+
+def test_kdd12_split_disjoint(tmp_path):
+    path = str(tmp_path / "ds")
+    write_synthetic_dataset(path, rows=500, fields=11, vocab=40, dense=0)
+    train = load_dataset("kdd12", path, "train")
+    test = load_dataset("kdd12", path, "test")
+    assert len(test) == 50
+    assert len(train) == 450
+    assert not (set(train.index.tolist()) & set(test.index.tolist()))
+
+
+def test_batch_iterator_padding(tmp_path):
+    path = str(tmp_path / "ds")
+    write_synthetic_dataset(path, rows=700, fields=4, vocab=30, dense=2)
+    data = load_dataset("criteo", path, "train") if False else None
+    a = make_synthetic_arrays(rows=130, fields=4, vocab=30, dense=2)
+    batches = list(batch_iterator(a, 64))
+    assert len(batches) == num_batches(a, 64) == 3
+    dense, sparse, label, valid = batches[-1]
+    assert sparse.shape == (64, 4) and dense.shape == (64, 2)
+    assert valid == 130 - 128
+    total = sum(v for _, _, _, v in batches)
+    assert total == 130
+
+
+def test_batch_iterator_drop_last():
+    a = make_synthetic_arrays(rows=130, fields=4, vocab=30, dense=0)
+    batches = list(batch_iterator(a, 64, drop_last=True))
+    assert len(batches) == 2
+    assert all(v == 64 for _, _, _, v in batches)
+    assert batches[0][0] is None  # no dense
+
+
+def test_hot_features_offline(tmp_path):
+    path = str(tmp_path / "ds")
+    write_synthetic_dataset(path, rows=5000, fields=3, vocab=200, dense=0,
+                            zipf=1.3)
+    data = load_dataset("criteo", path, "train") if False else None
+    from cafe_tpu.data.datasets import CTRArrays
+    a = make_synthetic_arrays(rows=5000, fields=3, vocab=200, dense=0,
+                              zipf=1.3)
+    a_path = str(tmp_path / "hot")
+    import os
+    os.makedirs(a_path, exist_ok=True)
+    hot = generate_hot_features(a, a_path, threshold=10,
+                                compress_rate=0.2, hash_rate=0.5)
+    total_hot = sum((h >= 0).sum() for h in hot.values())
+    expect = int(3 * 200 * 0.2 * 0.5)
+    assert total_hot == expect
+    # hot ids should be the most frequent ones per field overall
+    counts0 = np.bincount(a.sparse[:, 0], minlength=200)
+    hot0 = np.nonzero(hot[0] >= 0)[0]
+    if len(hot0):
+        assert counts0[hot0].min() >= np.sort(counts0)[-len(hot0) * 3]
+
+
+def test_streaming_encoder(tmp_path):
+    raw = tmp_path / "raw.tsv"
+    rows = [
+        "1\t3\t\tfoo\tbar",
+        "0\t\t2\tfoo\tbaz",
+        "1\t1\t5\tqux\tbar",
+    ]
+    raw.write_text("\n".join(rows) + "\n")
+    enc = StreamingEncoder(num_dense=2, num_sparse=2, sep="\t")
+    enc.collect(str(raw))
+    out = str(tmp_path / "out")
+    enc.encode([str(raw)], out)
+    sparse = np.fromfile(out + "/processed_sparse_sep.bin",
+                         dtype=np.int32).reshape(3, 2)
+    dense = np.fromfile(out + "/processed_dense.bin",
+                        dtype=np.float32).reshape(3, 2)
+    label = np.fromfile(out + "/processed_label.bin", dtype=np.int32)
+    counts = np.fromfile(out + "/processed_count.bin", dtype=np.int32)
+    assert label.tolist() == [1, 0, 1]
+    assert counts.tolist() == [2, 2]
+    assert sparse[0].tolist() == [0, 0]
+    assert sparse[1].tolist() == [0, 1]
+    assert sparse[2].tolist() == [1, 0]
+    assert dense[0, 0] == pytest.approx(np.log1p(3.0))
+    assert dense[0, 1] == 0.0  # missing -> 0
