@@ -1,0 +1,121 @@
+"""Embedding layer construction — the dispatcher.
+
+Mirrors the reference's EmbeddingLayer.__init__ decision tree
+(init_embed.py:18-204): fields smaller than the compress threshold stay
+full everywhere; each method sizes its tables with the formulas in
+sizing.py. Returns a composite EmbeddingLayer of fused parts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .base import (
+    EmbeddingLayer,
+    HashedTablePart,
+    MDEGroupPart,
+    OffPart,
+    Part,
+    QRPart,
+)
+from .cafe import CafePart
+from .ada import AdaPart
+from . import sizing
+
+__all__ = ["EmbeddingLayer", "build_embedding_layer", "HashedTablePart",
+           "QRPart", "MDEGroupPart", "OffPart", "CafePart", "AdaPart",
+           "Part", "sizing"]
+
+
+def build_embedding_layer(cfg, counts, dim: int,
+                          train_data=None) -> EmbeddingLayer:
+    counts = [int(c) for c in counts]
+    nf = len(counts)
+    method = cfg.method
+    cr = cfg.compress_rate
+    opt = cfg.optimizer
+    th = sizing.compress_threshold(cr)
+    big = [i for i in range(nf) if counts[i] > th]
+    small = [i for i in range(nf) if counts[i] <= th]
+    parts = []
+
+    def full_part(fields):
+        if fields:
+            cs = [counts[i] for i in fields]
+            parts.append(HashedTablePart(fields, cs, cs, dim, opt))
+
+    if method == "full" or not big:
+        full_part(list(range(nf)))
+        return EmbeddingLayer(parts, nf, dim)
+
+    if method == "hash":
+        real = [counts[i] if i in set(small)
+                else int(np.ceil(counts[i] * cr)) for i in range(nf)]
+        parts.append(HashedTablePart(list(range(nf)), counts, real, dim, opt))
+    elif method == "qr":
+        coll = sizing.qr_collisions(counts, cr)
+        full_part(small)
+        parts.append(QRPart(big, [counts[i] for i in big], coll, dim, opt))
+    elif method == "mde":
+        dims = sizing.mde_dims(counts, cr, dim, cfg.md_round_dims)
+        full_part(small)
+        groups = {}
+        for i in big:
+            groups.setdefault(int(dims[i]), []).append(i)
+        for low_dim, fields in sorted(groups.items()):
+            parts.append(MDEGroupPart(fields, [counts[i] for i in fields],
+                                      low_dim, dim, opt))
+    elif method == "off":
+        if train_data is None:
+            raise ValueError("method 'off' needs the training dataset for "
+                             "frequency statistics")
+        from ..data.datasets import generate_hot_features
+        hot_dict = generate_hot_features(train_data, cfg.data_path, th, cr,
+                                         cfg.cafe_hash_rate)
+        full_part(small)
+        hds = [hot_dict[i] for i in big]
+        ncold = [int(np.ceil(cr * cfg.cafe_hash_rate * counts[i]))
+                 - int((hot_dict[i] >= 0).sum()) for i in big]
+        parts.append(OffPart(big, [counts[i] for i in big], hds, ncold,
+                             dim, opt))
+    elif method == "cafe":
+        full_part(small)
+        goff = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        max_count = max(counts)
+        if cfg.cafe_hot_separate_field:
+            for i in big:
+                hotn = sizing.cafe_field_hotn(counts[i], cr, dim,
+                                              cfg.cafe_hash_rate)
+                if hotn > 1:
+                    parts.append(CafePart(
+                        [i], [counts[i]], [int(goff[i])], hotn,
+                        [sizing.cafe_hash_size(counts[i], cr,
+                                               cfg.cafe_hash_rate)],
+                        dim, cfg.cafe_sketch_threshold, cfg.cafe_decay,
+                        counts[i], opt, cfg.cafe_use_freq))
+                else:  # too small for a hot pool -> plain hash fallback
+                    parts.append(HashedTablePart(
+                        [i], [counts[i]],
+                        [int(np.ceil(counts[i] * cr))], dim, opt))
+        else:
+            hotn = sizing.cafe_hotn(counts, cr, dim, cfg.cafe_hash_rate)
+            if hotn > 1:
+                parts.append(CafePart(
+                    big, [counts[i] for i in big],
+                    [int(goff[i]) for i in big], hotn,
+                    [sizing.cafe_hash_size(counts[i], cr, cfg.cafe_hash_rate)
+                     for i in big],
+                    dim, cfg.cafe_sketch_threshold, cfg.cafe_decay,
+                    max_count, opt, cfg.cafe_use_freq))
+            else:
+                real = [int(np.ceil(counts[i] * cr)) for i in big]
+                parts.append(HashedTablePart(big, [counts[i] for i in big],
+                                             real, dim, opt))
+    elif method == "ada":
+        full_part(small)
+        hotn = sizing.ada_hotn(counts, cr, dim)
+        parts.append(AdaPart(big, [counts[i] for i in big], hotn, dim, opt))
+    else:
+        raise ValueError(f"unknown compress method {method}")
+
+    return EmbeddingLayer(parts, nf, dim)

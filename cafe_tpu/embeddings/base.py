@@ -1,0 +1,335 @@
+"""Composite embedding layer: field-partitioned parts with fused lookups.
+
+The reference builds one nn.Module per sparse field and loops over fields in
+Python (init_embed.py:206-223) — 26 separate kernel launches per step. Here
+fields with the same treatment are grouped into a *part* backed by one
+concatenated table, so each part is a single gather / single scatter no
+matter how many fields it serves; XLA lays the [rows, dim] tables out in HBM
+and the gathers saturate memory bandwidth.
+
+Contract per part:
+  init(rng)                        -> state pytree (tables + optimizer slots)
+  init_dense(rng)                  -> differentiable params (e.g. MDE projections)
+  gather(state, ids[B,Fp])         -> (raw, aux); raw is what the loss is
+                                      differentiated against, aux is bookkeeping
+  transform(dense_params, raw)     -> feats [B, Fp, D] (differentiable)
+  apply_grads(state, ids, g_raw, aux, lr) -> (state, stats)
+
+The trainer treats (raw, dense_params) as differentiable leaves and applies
+table updates itself via each part's apply_grads — this is how sparse
+embedding gradients stay sparse end-to-end (no [vocab, dim] dense grads).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.sparse import sparse_adagrad, sparse_sgd
+
+# All device tables are padded to a multiple of this row count so they can be
+# row-sharded over any power-of-two mesh up to 512 devices (uneven sharding
+# is not expressible with NamedSharding). Padding rows are never indexed.
+ROW_ALIGN = 512
+
+
+def round_up(n: int, align: int = ROW_ALIGN) -> int:
+    return ((max(n, 1) + align - 1) // align) * align
+
+
+def _uniform_init(rng: np.random.Generator, rows_per_field: Sequence[int],
+                  scales: Sequence[float], dim: int) -> np.ndarray:
+    """Concatenated (row-padded) table with per-field uniform slices."""
+    total = int(sum(rows_per_field))
+    out = np.zeros((round_up(total), dim), dtype=np.float32)
+    lo = 0
+    for rows, scale in zip(rows_per_field, scales):
+        out[lo:lo + rows] = rng.uniform(-scale, scale,
+                                        size=(rows, dim)).astype(np.float32)
+        lo += rows
+    return out
+
+
+def _offsets(rows_per_field: Sequence[int]) -> np.ndarray:
+    return np.concatenate([[0], np.cumsum(rows_per_field)[:-1]]).astype(
+        np.int64)
+
+
+class Part:
+    field_idx: List[int]
+
+    def init(self, rng: np.random.Generator) -> Dict:
+        raise NotImplementedError
+
+    def init_dense(self, rng: np.random.Generator) -> Dict:
+        return {}
+
+    def gather(self, state, ids):
+        raise NotImplementedError
+
+    def transform(self, dense_params, raw):
+        return raw  # identity for uniform-dim methods
+
+    def apply_grads(self, state, ids, g_raw, aux, lr: float):
+        raise NotImplementedError
+
+    # --- shared sparse-update helper ---------------------------------
+    def _table_update(self, state: Dict, key: str, idx: jnp.ndarray,
+                      grad: jnp.ndarray, lr: float) -> Dict:
+        table = state[key]
+        if self.optimizer == "adagrad":
+            table, acc = sparse_adagrad(table, state[key + "_acc"], idx,
+                                        grad, lr)
+            return {**state, key: table, key + "_acc": acc}
+        return {**state, key: sparse_sgd(table, idx, grad, lr)}
+
+    def _maybe_acc(self, state: Dict, key: str) -> Dict:
+        if self.optimizer == "adagrad":
+            state[key + "_acc"] = jnp.zeros_like(state[key])
+        return state
+
+
+class HashedTablePart(Part):
+    """Full and hash-compressed fields: row = offset_f + (id % real_n_f).
+
+    With real_n == n this is the uncompressed table (the mod is identity);
+    otherwise it is the reference HashEmbeddingBag (hash_embedding_bag.py:17).
+    """
+
+    def __init__(self, field_idx, counts, real_ns, dim, optimizer="sgd"):
+        self.field_idx = list(field_idx)
+        self.counts = [int(c) for c in counts]
+        self.real_ns = [int(r) for r in real_ns]
+        self.dim = dim
+        self.optimizer = optimizer
+        self.np_offsets = _offsets(self.real_ns)
+        self.rows = int(sum(self.real_ns))
+
+    def init(self, rng):
+        scales = [np.sqrt(1.0 / max(n, 5)) for n in self.counts]
+        state = {"table": jnp.asarray(
+            _uniform_init(rng, self.real_ns, scales, self.dim))}
+        return self._maybe_acc(state, "table")
+
+    def gather(self, state, ids):
+        real = jnp.asarray(self.real_ns, dtype=jnp.int32)
+        off = jnp.asarray(self.np_offsets, dtype=jnp.int32)
+        flat = (ids % real[None, :]) + off[None, :]
+        return state["table"][flat], flat
+
+    def apply_grads(self, state, ids, g_raw, aux, lr):
+        b, f, d = g_raw.shape
+        state = self._table_update(state, "table", aux.reshape(b * f),
+                                   g_raw.reshape(b * f, d), lr)
+        return state, {}
+
+
+class QRPart(Part):
+    """Quotient-remainder fields (qr_embedding_bag.py:60-77): the feature
+    vector is q_table[id // coll] + r_table[id % coll]."""
+
+    def __init__(self, field_idx, counts, collisions, dim, optimizer="sgd"):
+        self.field_idx = list(field_idx)
+        self.counts = [int(c) for c in counts]
+        self.collisions = int(collisions)
+        self.dim = dim
+        self.optimizer = optimizer
+        self.q_rows = [int(np.ceil(n / collisions)) + 1 for n in self.counts]
+        self.r_rows = [self.collisions] * len(self.counts)
+        self.q_off = _offsets(self.q_rows)
+        self.r_off = _offsets(self.r_rows)
+
+    def init(self, rng):
+        scales = [np.sqrt(1.0 / n) for n in self.counts]
+        state = {
+            "q": jnp.asarray(_uniform_init(rng, self.q_rows, scales, self.dim)),
+            "r": jnp.asarray(_uniform_init(rng, self.r_rows, scales, self.dim)),
+        }
+        state = self._maybe_acc(state, "q")
+        return self._maybe_acc(state, "r")
+
+    def gather(self, state, ids):
+        qo = jnp.asarray(self.q_off, dtype=jnp.int32)
+        ro = jnp.asarray(self.r_off, dtype=jnp.int32)
+        qi = (ids // self.collisions) + qo[None, :]
+        ri = (ids % self.collisions) + ro[None, :]
+        raw = state["q"][qi] + state["r"][ri]
+        return raw, (qi, ri)
+
+    def apply_grads(self, state, ids, g_raw, aux, lr):
+        qi, ri = aux
+        b, f, d = g_raw.shape
+        g = g_raw.reshape(b * f, d)
+        state = self._table_update(state, "q", qi.reshape(-1), g, lr)
+        state = self._table_update(state, "r", ri.reshape(-1), g, lr)
+        return state, {}
+
+
+class MDEGroupPart(Part):
+    """Mixed-dimension fields sharing one reduced dim `d` (md_embedding_bag.py:
+    71-91): low-dim table gather + per-field learned projection back to D.
+
+    The projections are *dense* differentiable params (init_dense); their
+    gradients flow through the trainer's autodiff like tower weights.
+    """
+
+    def __init__(self, field_idx, counts, low_dim, base_dim, optimizer="sgd"):
+        self.field_idx = list(field_idx)
+        self.counts = [int(c) for c in counts]
+        self.low_dim = int(low_dim)
+        self.dim = base_dim
+        self.optimizer = optimizer
+        self.np_offsets = _offsets(self.counts)
+
+    def init(self, rng):
+        scales = [np.sqrt(6.0 / (n + self.low_dim)) for n in self.counts]
+        state = {"table": jnp.asarray(
+            _uniform_init(rng, self.counts, scales, self.low_dim))}
+        return self._maybe_acc(state, "table")
+
+    def init_dense(self, rng):
+        if self.low_dim == self.dim:
+            return {}
+        f = len(self.field_idx)
+        bound = np.sqrt(6.0 / (self.low_dim + self.dim))
+        proj = rng.uniform(-bound, bound,
+                           size=(f, self.low_dim, self.dim)).astype(np.float32)
+        return {"proj": jnp.asarray(proj)}
+
+    def gather(self, state, ids):
+        off = jnp.asarray(self.np_offsets, dtype=jnp.int32)
+        flat = ids + off[None, :]
+        return state["table"][flat], flat
+
+    def transform(self, dense_params, raw):
+        if self.low_dim == self.dim:
+            return raw
+        return jnp.einsum("bfd,fde->bfe", raw, dense_params["proj"],
+                          preferred_element_type=jnp.float32)
+
+    def apply_grads(self, state, ids, g_raw, aux, lr):
+        b, f, d = g_raw.shape
+        state = self._table_update(state, "table", aux.reshape(b * f),
+                                   g_raw.reshape(b * f, d), lr)
+        return state, {}
+
+
+class OffPart(Part):
+    """Offline hot/cold fields (off_embedding_bag.py:33-50): a precomputed
+    frequency-ranked hot dictionary routes ids to dedicated hot rows or a
+    shared hash of cold rows."""
+
+    def __init__(self, field_idx, counts, hot_dicts, num_colds, dim,
+                 optimizer="sgd"):
+        self.field_idx = list(field_idx)
+        self.counts = [int(c) for c in counts]
+        self.dim = dim
+        self.optimizer = optimizer
+        self.num_hots = [int((hd >= 0).sum()) for hd in hot_dicts]
+        self.num_colds = [max(int(c), 0) for c in num_colds]
+        self.hot_off = _offsets([max(h, 1) for h in self.num_hots])
+        self.cold_off = _offsets([max(c, 1) for c in self.num_colds])
+        self.dict_off = _offsets(self.counts)
+        self._hot_dict_np = np.concatenate(hot_dicts).astype(np.int32)
+        self.hot_rows = int(sum(max(h, 1) for h in self.num_hots))
+        self.cold_rows = int(sum(max(c, 1) for c in self.num_colds))
+
+    def init(self, rng):
+        scales = [np.sqrt(1.0 / max(n, 5)) for n in self.counts]
+        hd = self._hot_dict_np
+        hd_pad = np.full(round_up(len(hd)), -1, dtype=np.int32)
+        hd_pad[: len(hd)] = hd
+        state = {
+            "hot": jnp.asarray(_uniform_init(
+                rng, [max(h, 1) for h in self.num_hots], scales, self.dim)),
+            "cold": jnp.asarray(_uniform_init(
+                rng, [max(c, 1) for c in self.num_colds], scales, self.dim)),
+            "hot_dict": jnp.asarray(hd_pad),
+        }
+        state = self._maybe_acc(state, "hot")
+        return self._maybe_acc(state, "cold")
+
+    def gather(self, state, ids):
+        doff = jnp.asarray(self.dict_off, dtype=jnp.int32)
+        hoff = jnp.asarray(self.hot_off, dtype=jnp.int32)
+        coff = jnp.asarray(self.cold_off, dtype=jnp.int32)
+        ncold = jnp.asarray([max(c, 1) for c in self.num_colds],
+                            dtype=jnp.int32)
+        hd = state["hot_dict"][ids + doff[None, :]]
+        is_hot = hd >= 0
+        hrow = jnp.clip(hd, 0) + hoff[None, :]
+        crow = (ids % ncold[None, :]) + coff[None, :]
+        rows = jnp.where(is_hot[..., None], state["hot"][hrow],
+                         state["cold"][crow])
+        return rows, (hrow, crow, is_hot)
+
+    def apply_grads(self, state, ids, g_raw, aux, lr):
+        hrow, crow, is_hot = aux
+        b, f, d = g_raw.shape
+        g = g_raw.reshape(b * f, d)
+        hi = jnp.where(is_hot, hrow, state["hot"].shape[0]).reshape(-1)
+        ci = jnp.where(is_hot, state["cold"].shape[0], crow).reshape(-1)
+        state = self._table_update(state, "hot", hi, g, lr)
+        state = self._table_update(state, "cold", ci, g, lr)
+        return state, {}
+
+
+class EmbeddingLayer:
+    """Field-partitioned composite; mirrors the reference EmbeddingLayer
+    dispatcher role (init_embed.py:18-223) as a functional object."""
+
+    def __init__(self, parts: List[Part], num_fields: int, dim: int):
+        assert sorted(sum((p.field_idx for p in parts), [])) == \
+            list(range(num_fields))
+        self.parts = parts
+        self.num_fields = num_fields
+        self.dim = dim
+        order = np.concatenate([p.field_idx for p in parts]).astype(np.int64)
+        self._perm = np.argsort(order)
+
+    def init(self, seed: int) -> Tuple[Dict, Dict]:
+        rng = np.random.default_rng(seed)
+        state = {f"part{i}": p.init(rng) for i, p in enumerate(self.parts)}
+        dense = {f"part{i}": p.init_dense(rng)
+                 for i, p in enumerate(self.parts)}
+        return state, dense
+
+    def gather(self, state: Dict, ids: jnp.ndarray):
+        raws, auxs = {}, {}
+        for i, p in enumerate(self.parts):
+            cols = ids[:, np.asarray(p.field_idx)]
+            raws[f"part{i}"], auxs[f"part{i}"] = p.gather(
+                state[f"part{i}"], cols)
+        return raws, auxs
+
+    def transform(self, dense: Dict, raws: Dict) -> jnp.ndarray:
+        feats = [p.transform(dense[f"part{i}"], raws[f"part{i}"])
+                 for i, p in enumerate(self.parts)]
+        return jnp.concatenate(feats, axis=1)[:, self._perm]
+
+    def apply_grads(self, state: Dict, ids: jnp.ndarray, g_raws: Dict,
+                    auxs: Dict, lr: float):
+        stats = {}
+        new_state = {}
+        for i, p in enumerate(self.parts):
+            cols = ids[:, np.asarray(p.field_idx)]
+            s, st = p.apply_grads(state[f"part{i}"], cols,
+                                  g_raws[f"part{i}"], auxs[f"part{i}"], lr)
+            new_state[f"part{i}"] = s
+            stats.update(st)
+        return new_state, stats
+
+    def memory_rows(self) -> int:
+        """Total embedding rows across all parts (for compress-rate audits)."""
+        rows = 0
+        for p in self.parts:
+            if isinstance(p, HashedTablePart):
+                rows += p.rows
+            elif isinstance(p, QRPart):
+                rows += sum(p.q_rows) + sum(p.r_rows)
+            elif isinstance(p, OffPart):
+                rows += p.hot_rows + p.cold_rows
+        return rows

@@ -1,0 +1,146 @@
+"""CAFE embedding: HotSketch-routed hot/cold dual tables, fully on-device.
+
+Reference behavior (ArtifactEvaluation/embeddings/sk_embedding_bag.py):
+  forward   query sketch with field-offset ids; negative result = hot slot in
+            the shared hot table, else hash into the per-field cold table,
+            blend with a mask (:96-120).
+  backward  per-sample importance = L2 norm of the gradient of whichever row
+            served the sample, normalized to mean 1 over the batch (:155-162);
+            fed to the sketch; ids newly promoted copy their cold row into
+            their fresh hot row ("embedding migration", :168-180).
+
+Differences by design:
+  * The whole path (query -> gather -> blend -> grad-norm -> insert ->
+    migrate -> sparse update) is inside one jitted step; the reference pays
+    two ctypes crossings + four host<->device copies per field per step.
+  * One sketch insert handles ALL fields' ids at once (global offset ids are
+    disjoint across fields) instead of 26 sequential C++ calls.
+  * Migration row choice: the reference migrates from weight_hash[raw_id %
+    hash_size] (sk_embedding_bag.py:179) while its forward used
+    offset_id % hash_size (:108-113) — an inconsistency that copies an
+    unrelated row whenever offset % hash_size != 0. We use the forward's row
+    (offset id) for both, i.e. the row that actually served the feature.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..sketch.hotsketch import (
+    HotSketchConfig,
+    init_sketch,
+    sketch_insert,
+    sketch_query,
+)
+from .base import Part, _offsets, _uniform_init, round_up
+
+
+class CafePart(Part):
+    def __init__(self, field_idx: List[int], counts: List[int],
+                 global_offsets: List[int], hotn: int,
+                 hash_sizes: List[int], dim: int,
+                 sketch_threshold: float, sketch_decay: float,
+                 max_count: int, optimizer: str = "sgd",
+                 use_freq: bool = False):
+        self.field_idx = list(field_idx)
+        self.counts = [int(c) for c in counts]
+        self.global_offsets = [int(o) for o in global_offsets]
+        self.hotn = int(hotn)
+        self.hash_sizes = [int(h) for h in hash_sizes]
+        self.dim = dim
+        self.optimizer = optimizer
+        self.use_freq = use_freq
+        self.max_count = int(max_count)  # max vocab across ALL fields
+        self.hash_off = _offsets(self.hash_sizes)
+        self.hash_rows = int(sum(self.hash_sizes))
+        self.sketch_cfg = HotSketchConfig(
+            buckets=self.hotn, threshold=float(sketch_threshold),
+            decay=float(sketch_decay))
+
+    def init(self, rng: np.random.Generator) -> Dict:
+        high_scale = np.sqrt(1.0 / self.max_count)  # init_embed.py:119
+        high = np.zeros((round_up(self.hotn), self.dim), dtype=np.float32)
+        high[: self.hotn] = rng.uniform(
+            -high_scale, high_scale,
+            size=(self.hotn, self.dim)).astype(np.float32)
+        scales = [np.sqrt(1.0 / n) for n in self.counts]
+        state = {
+            "high": jnp.asarray(high),
+            "hash": jnp.asarray(_uniform_init(rng, self.hash_sizes, scales,
+                                              self.dim)),
+            "sketch": init_sketch(self.sketch_cfg),
+        }
+        state = self._maybe_acc(state, "high")
+        return self._maybe_acc(state, "hash")
+
+    def _oids(self, ids: jnp.ndarray) -> jnp.ndarray:
+        goff = jnp.asarray(self.global_offsets, dtype=jnp.int32)
+        return ids + goff[None, :]
+
+    def gather(self, state: Dict, ids: jnp.ndarray):
+        b, f = ids.shape
+        oids = self._oids(ids)
+        q = sketch_query(self.sketch_cfg, state["sketch"],
+                         oids.reshape(-1)).reshape(b, f)
+        is_hot = q < 0
+        slot = jnp.where(is_hot, -q, 0)
+        hsz = jnp.asarray(self.hash_sizes, dtype=jnp.int32)
+        hoff = jnp.asarray(self.hash_off, dtype=jnp.int32)
+        hrow = (oids % hsz[None, :]) + hoff[None, :]
+        raw = jnp.where(is_hot[..., None], state["high"][slot],
+                        state["hash"][hrow])
+        return raw, (oids, slot, hrow, is_hot)
+
+    def apply_grads(self, state: Dict, ids: jnp.ndarray, g_raw: jnp.ndarray,
+                    aux, lr: float):
+        oids, slot, hrow, is_hot = aux
+        b, f, d = g_raw.shape
+
+        # importance scores (sk_embedding_bag.py:155-162): per-field batch
+        # L2 norms normalized to mean 1; frequency mode uses all-ones.
+        if self.use_freq:
+            scores = jnp.ones((b, f), jnp.float32)
+        else:
+            norms = jnp.sqrt(jnp.sum(g_raw * g_raw, axis=-1) + 1e-30)
+            scores = norms * b / (jnp.sum(norms, axis=0, keepdims=True)
+                                  + 1e-30)
+
+        sk, promo = sketch_insert(self.sketch_cfg, state["sketch"],
+                                  oids.reshape(-1), scores.reshape(-1))
+
+        # migration BEFORE the optimizer touches the cold rows, matching the
+        # reference's insert_grad-then-step ordering (main.py:376-377).
+        goff = jnp.asarray(self.global_offsets, dtype=jnp.int32)
+        hsz = jnp.asarray(self.hash_sizes, dtype=jnp.int32)
+        hoff = jnp.asarray(self.hash_off, dtype=jnp.int32)
+        pfield = jnp.clip(
+            jnp.searchsorted(goff, promo.ids, side="right") - 1,
+            0, len(self.field_idx) - 1)
+        prow = (promo.ids % hsz[pfield]) + hoff[pfield]
+        dst = jnp.where(promo.mask, promo.slots, state["high"].shape[0])
+        high = state["high"].at[dst].set(
+            state["hash"][jnp.clip(prow, 0, self.hash_rows - 1)],
+            mode="drop")
+        state = {**state, "high": high, "sketch": sk}
+
+        # sparse updates to whichever table served each sample
+        g = g_raw.reshape(b * f, d)
+        hi = jnp.where(is_hot, slot, state["high"].shape[0]).reshape(-1)
+        ci = jnp.where(is_hot, state["hash"].shape[0], hrow).reshape(-1)
+        state = self._table_update(state, "high", hi, g, lr)
+        state = self._table_update(state, "hash", ci, g, lr)
+
+        stats = {
+            "cafe_promotions": promo.mask.sum(),
+            "cafe_hot_frac": is_hot.mean(),
+        }
+        return state, stats
+
+    def on_load(self, state: Dict) -> Dict:
+        """Post-checkpoint-restore hook. Full sketch state is checkpointed
+        (CAFE+ behavior, PinSAGE/sketch.cpp:333-402) so nothing to rebuild;
+        kept for API parity with init_embed.py:225-227."""
+        return state

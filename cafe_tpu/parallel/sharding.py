@@ -1,0 +1,93 @@
+"""Sharding annotations for the train state and batches.
+
+The idiomatic JAX recipe: annotate shardings on jit boundaries and let the
+XLA SPMD partitioner insert the collectives (all-gathers for sharded-table
+row lookups, reduce-scatters for scatter updates, psums for data-parallel
+dense grads). Row-sharded leaves:
+
+  * every embedding table / optimizer accumulator  [rows, dim] -> P('data', None)
+  * sketch bucket arrays val/cnt/dic               [S, C]      -> P('data', None)
+  * AdaEmbed's id->slot map and importance array   [N]         -> P('data')
+
+Dense tower params are replicated; batches are sharded along the batch axis.
+A later explicit shard_map path (parallel/embedding_parallel.py) replaces
+the auto-partitioned lookup with dedup + all-to-all for bandwidth-optimal
+exchange; this module is the always-correct baseline.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# state-leaf names that hold per-row embedding data
+_ROW_SHARDED_2D = {"table", "hash", "high", "q", "r", "hot", "cold",
+                   "weight", "table_acc", "hash_acc", "high_acc", "q_acc",
+                   "r_acc", "hot_acc", "cold_acc", "weight_acc"}
+_ROW_SHARDED_1D = {"dic", "grad_norm", "hot_dict"}
+_SKETCH_2D = {"val", "cnt"}  # sketch dic handled by name too
+
+_MIN_ROWS = 1024  # don't bother sharding tiny tables
+
+
+def _leaf_name(path) -> str:
+    for entry in reversed(path):
+        if hasattr(entry, "key"):
+            return str(entry.key)
+        if hasattr(entry, "name"):
+            return str(entry.name)
+    return ""
+
+
+def state_shardings(state: Any, mesh: Mesh, shard_embeddings: bool) -> Any:
+    """Pytree of NamedShardings matching `state` (a TrainState)."""
+    repl = NamedSharding(mesh, P())
+    row2d = NamedSharding(mesh, P("data", None))
+    row1d = NamedSharding(mesh, P("data"))
+
+    def embed_leaf(path, leaf):
+        if not shard_embeddings:
+            return repl
+        name = _leaf_name(path)
+        if leaf.ndim == 2 and leaf.shape[0] >= _MIN_ROWS and (
+                name in _ROW_SHARDED_2D or name in _SKETCH_2D
+                or name == "dic"):
+            return row2d
+        if leaf.ndim == 1 and leaf.shape[0] >= _MIN_ROWS and (
+                name in _ROW_SHARDED_1D or name == "free"):
+            return row1d
+        return repl
+
+    embed_sh = jax.tree_util.tree_map_with_path(embed_leaf, state.embed)
+    return type(state)(
+        params=jax.tree.map(lambda _: repl, state.params),
+        embed=embed_sh,
+        embed_dense=jax.tree.map(lambda _: repl, state.embed_dense),
+        opt=jax.tree.map(lambda _: repl, state.opt),
+        step=repl,
+    )
+
+
+def batch_shardings(mesh: Mesh):
+    """(dense, ids, labels, valid) shardings: batch-dim parallel."""
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    return data, data, data, repl
+
+
+def shard_train_step(train_step, mesh: Mesh, state: Any,
+                     shard_embeddings: bool):
+    """Re-jit a built train step with explicit in/out shardings and place
+    `state` accordingly. Returns (sharded_step, placed_state)."""
+    st_sh = state_shardings(state, mesh, shard_embeddings)
+    dense_sh, ids_sh, lab_sh, val_sh = batch_shardings(mesh)
+    placed = jax.device_put(state, st_sh)
+    fn = jax.jit(
+        train_step.__wrapped__ if hasattr(train_step, "__wrapped__")
+        else train_step,
+        in_shardings=(st_sh, dense_sh, ids_sh, lab_sh, val_sh),
+        out_shardings=(st_sh, None),
+    )
+    return fn, placed

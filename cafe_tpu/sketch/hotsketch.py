@@ -78,14 +78,22 @@ class HotSketchState(NamedTuple):
     tot: jnp.ndarray       # float32 [] score mass since last decay
 
 
+def _pad_rows(n: int) -> int:
+    """Pad device arrays to a shardable row multiple (see base.ROW_ALIGN);
+    bucket indexing always uses the logical size `cfg.buckets`."""
+    from ..embeddings.base import round_up
+    return round_up(n)
+
+
 def init_sketch(cfg: HotSketchConfig) -> HotSketchState:
     s, c = cfg.buckets, cfg.cells
-    free = np.zeros(s, dtype=np.int32)
+    sp = _pad_rows(s)
+    free = np.zeros(sp, dtype=np.int32)
     free[: s - 1] = np.arange(1, s, dtype=np.int32)
     return HotSketchState(
-        val=jnp.zeros((s, c), dtype=jnp.int32),
-        cnt=jnp.zeros((s, c), dtype=jnp.float32),
-        dic=jnp.zeros((s, c), dtype=jnp.int32),
+        val=jnp.zeros((sp, c), dtype=jnp.int32),
+        cnt=jnp.zeros((sp, c), dtype=jnp.float32),
+        dic=jnp.zeros((sp, c), dtype=jnp.int32),
         free=jnp.asarray(free),
         free_top=jnp.asarray(s - 1, dtype=jnp.int32),
         tot=jnp.asarray(0.0, dtype=jnp.float32),
@@ -113,13 +121,12 @@ def sketch_query(cfg: HotSketchConfig, state: HotSketchState,
 def _decay(cfg: HotSketchConfig, state: HotSketchState) -> HotSketchState:
     """Multiplicative decay + demotion of hot ids dropping below threshold
     (sketch.cpp:76-88)."""
-    s = cfg.buckets
     demote = (state.dic != 0) & (state.cnt * cfg.decay < cfg.threshold)
     dflat = demote.reshape(-1)
     dic_flat = state.dic.reshape(-1)
     # push freed slots onto the stack via masked scatter
     pos = state.free_top + jnp.cumsum(dflat.astype(jnp.int32)) - 1
-    pos = jnp.where(dflat, pos, s)  # out-of-range -> dropped
+    pos = jnp.where(dflat, pos, state.free.shape[0])  # OOB -> dropped
     free = state.free.at[pos].set(dic_flat, mode="drop")
     free_top = state.free_top + dflat.sum(dtype=jnp.int32)
     return state._replace(
@@ -155,6 +162,7 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     """
     b = ids.shape[0]
     s, c = cfg.buckets, cfg.cells
+    sp = state.val.shape[0]  # physical (padded) rows; used as drop index
     k = jnp.float32(cfg.threshold)
 
     valid_in = ids != INVALID_ID
@@ -206,8 +214,8 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
         rank = jnp.cumsum(pcand.astype(jnp.int32))       # 1-based at cands
         slot_idx = free_top - rank
         can = pcand & (slot_idx >= 0)
-        slot = jnp.where(can, free[jnp.clip(slot_idx, 0, s - 1)], 0)
-        hp = jnp.where(can, h, s)
+        slot = jnp.where(can, free[jnp.clip(slot_idx, 0, sp - 1)], 0)
+        hp = jnp.where(can, h, sp)
         dic = dic.at[hp, cell_m].set(slot, mode="drop")
         free_top = free_top - can.sum(dtype=jnp.int32)
         promo_slot = jnp.where(can, slot, promo_slot)
@@ -217,10 +225,10 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
         has_empty = (~occ).any(axis=1)
         cell_e = jnp.argmax(~occ, axis=1)
         place = un & has_empty
-        hplace = jnp.where(place, h, s)
+        hplace = jnp.where(place, h, sp)
         val = val.at[hplace, cell_e].set(sid, mode="drop")
         won_place = place & (val[h, cell_e] == sid)
-        cnt = cnt.at[jnp.where(won_place, h, s), cell_e].set(
+        cnt = cnt.at[jnp.where(won_place, h, sp), cell_e].set(
             uscore, mode="drop")
 
         # bucket full: evict the min-score cell unless it is hot; the
@@ -228,10 +236,10 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
         evict = un & ~has_empty
         cell_v = jnp.argmin(bc, axis=1)
         can_evict = evict & (bd[lanes, cell_v] == 0)
-        hev = jnp.where(can_evict, h, s)
+        hev = jnp.where(can_evict, h, sp)
         val = val.at[hev, cell_v].set(sid, mode="drop")
         won_evict = can_evict & (val[h, cell_v] == sid)
-        cnt = cnt.at[jnp.where(won_evict, h, s), cell_v].add(
+        cnt = cnt.at[jnp.where(won_evict, h, sp), cell_v].add(
             jnp.where(won_evict, uscore, 0.0), mode="drop")
 
         done = is_matched | won_place | won_evict | (evict & ~can_evict)

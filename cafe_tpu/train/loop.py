@@ -1,0 +1,213 @@
+"""Training driver — the functional analogue of ArtifactEvaluation/main.py.
+
+Builds datasets, model, embedding layer, runs the epoch/batch loop with the
+reference's cadence knobs (print_freq / test_freq / test_throughput), logs
+the same scalar suite, checkpoints on best accuracy, and supports resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os.path as osp
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import batch_iterator, load_dataset, make_synthetic_arrays, num_batches
+from ..embeddings import build_embedding_layer
+from ..models import MODELS
+from ..utils.logging import ScalarLogger
+from .checkpoint import load_checkpoint, save_checkpoint
+from .metrics import binary_metrics
+from .step import TrainState, build_eval_step, build_train_step, init_state
+
+
+def model_arch(cfg: Config, num_dense: int, num_sparse: int):
+    """ln_bot / ln_top selection (main.py:226-243)."""
+    dim = cfg.embedding_dim
+    if cfg.dataset == "criteotb":
+        ln_bot = [num_dense, 512, 256, dim]
+    else:
+        ln_bot = [num_dense, 512, 256, 64, dim]
+    num_fea = num_sparse + (1 if num_dense > 0 else 0)
+    m_den_out = ln_bot[-1] if num_dense > 0 else 0
+    num_int = (num_fea * (num_fea - 1)) // 2 + m_den_out
+    if cfg.dataset == "criteotb":
+        ln_top = [num_int, 1024, 1024, 512, 256, 1]
+    else:
+        ln_top = [num_int, 512, 256, 1]
+    return ln_bot, ln_top
+
+
+def build_all(cfg: Config, train_data=None):
+    """Construct (model, embed_layer, state, train_step, eval_step)."""
+    if train_data is None:
+        train_data = get_dataset(cfg, "train")
+    counts = np.asarray(train_data.counts)
+    if cfg.max_ind_range > 0:
+        counts = np.minimum(counts, cfg.max_ind_range)
+    ln_bot, ln_top = model_arch(cfg, train_data.num_dense,
+                                train_data.num_sparse)
+    compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    model = MODELS[cfg.model](cfg.embedding_dim, train_data.num_sparse,
+                              train_data.num_dense, ln_bot, ln_top,
+                              compute_dtype=compute_dtype)
+    embed = build_embedding_layer(cfg, counts, cfg.embedding_dim, train_data)
+    state = init_state(model, embed, cfg.numpy_rand_seed, cfg.optimizer)
+    return model, embed, state, build_train_step(model, embed, cfg), \
+        build_eval_step(model, embed)
+
+
+def get_dataset(cfg: Config, phase: str):
+    if cfg.dataset == "synthetic":
+        data = make_synthetic_arrays(
+            rows=cfg.synthetic_rows, fields=cfg.synthetic_fields,
+            vocab=cfg.synthetic_vocab, dense=cfg.synthetic_dense,
+            zipf=cfg.synthetic_zipf, seed=cfg.numpy_rand_seed)
+        n = len(data)
+        from ..data.datasets import CTRArrays
+        cut = n * 6 // 7
+        if phase == "train":
+            return CTRArrays(data.sparse[:cut],
+                             None if data.dense is None else data.dense[:cut],
+                             data.label[:cut], data.counts)
+        return CTRArrays(data.sparse[cut:],
+                         None if data.dense is None else data.dense[cut:],
+                         data.label[cut:], data.counts)
+    return load_dataset(cfg.dataset, cfg.data_path, phase, cfg.max_ind_range)
+
+
+def inference(cfg: Config, eval_step, state: TrainState, test_data,
+              throughput: bool = False) -> Tuple[Dict[str, float], float]:
+    """Streaming evaluation (main.py:32-131). Returns (metrics, ms_per_it)."""
+    scores, targets = [], []
+    t_start = None
+    n_timed = 0
+    for it, (dense, sparse, label, valid) in enumerate(
+            batch_iterator(test_data, cfg.test_mini_batch_size)):
+        if throughput and it == 10:
+            jax.block_until_ready(state.params)
+            t_start = time.time()
+        dx = None if dense is None else jnp.asarray(dense)
+        p = eval_step(state, dx, jnp.asarray(sparse))
+        if throughput:
+            if it >= 10:
+                n_timed += 1
+            if it == 1023:
+                break
+            continue
+        scores.append(np.asarray(p[:valid]))
+        targets.append(label[:valid])
+    if throughput:
+        jax.block_until_ready(p)
+        ms = (time.time() - t_start) * 1000.0 / max(n_timed, 1)
+        return {}, ms
+    scores = np.concatenate(scores)
+    targets = np.concatenate(targets)
+    return binary_metrics(targets, scores), 0.0
+
+
+def run(cfg: Config) -> Dict:
+    t_build = time.time()
+    train_data = get_dataset(cfg, "train")
+    test_data = get_dataset(cfg, "test")
+    model, embed, state, train_step, eval_step = build_all(cfg, train_data)
+    print(f"setup done in {time.time() - t_build:.1f}s; "
+          f"counts={np.asarray(train_data.counts)[:8]}...", flush=True)
+
+    if cfg.test_throughput:
+        cfg = dataclasses.replace(
+            cfg, print_freq=max(cfg.print_freq, 1024),
+            test_freq=2 * max(cfg.print_freq, 1024))
+
+    logger = ScalarLogger(cfg.tensor_board_filename or None)
+    nbatches = num_batches(train_data, cfg.mini_batch_size)
+
+    best_acc = 0.0
+    skip_epoch, skip_batch = 0, 0
+    if cfg.load_model:
+        state, extra = load_checkpoint(cfg.load_model, state)
+        best_acc = extra.get("test_acc", 0.0)
+        skip_epoch = extra.get("epoch", 0)
+        skip_batch = extra.get("iter", 0)
+        print(f"loaded {cfg.load_model}: epoch={skip_epoch} "
+              f"iter={skip_batch} acc={best_acc:.4f}", flush=True)
+
+    if cfg.inference_only:
+        metrics, _ = inference(cfg, eval_step, state, test_data)
+        print(" ".join(f"{k}={v:.5f}" for k, v in metrics.items()),
+              flush=True)
+        logger.close()
+        return {"metrics": metrics}
+
+    result = {}
+    total_loss, total_samp, total_iter = 0.0, 0.0, 0
+    t_window = time.time()
+    train_ms = 0.0
+    for ep in range(skip_epoch, cfg.nepochs):
+        start_b = skip_batch if ep == skip_epoch else 0
+        for it, (dense, sparse, label, valid) in enumerate(
+                batch_iterator(train_data, cfg.mini_batch_size,
+                               start_batch=start_b), start=start_b):
+            dx = None if dense is None else jnp.asarray(dense)
+            state, m = train_step(state, dx, jnp.asarray(sparse),
+                                  jnp.asarray(label), valid)
+            total_loss += float(m["loss"]) * valid
+            total_samp += valid
+            total_iter += 1
+
+            should_print = ((it + 1) % cfg.print_freq == 0) \
+                or (it + 1 == nbatches) or (it <= 100 and not cfg.test_throughput)
+            should_test = cfg.test_freq > 0 and (
+                (it + 1) % cfg.test_freq == 0 or it + 1 == nbatches)
+            if should_print or should_test:
+                jax.block_until_ready(state.params)
+                now = time.time()
+                train_ms = (now - t_window) * 1000.0 / max(total_iter, 1)
+                t_window = now
+                train_loss = total_loss / max(total_samp, 1)
+                print(f"Finished training it {it + 1}/{nbatches} of epoch "
+                      f"{ep}, {train_ms:.2f} ms/it, loss {train_loss:.6f}",
+                      flush=True)
+                log_iter = nbatches * ep + it + 1
+                logger.add_scalar("Train/Loss", train_loss, log_iter)
+                total_loss, total_samp, total_iter = 0.0, 0.0, 0
+
+            if should_test or (cfg.test_throughput
+                               and it + 1 == 2 * cfg.print_freq):
+                if cfg.test_throughput:
+                    _, test_ms = inference(cfg, eval_step, state, test_data,
+                                           throughput=True)
+                    lat = {"train": train_ms, "test": test_ms}
+                    out = osp.join(cfg.tensor_board_filename, "latency.json")
+                    with open(out, "w") as f:
+                        json.dump(lat, f)
+                    print(f"latency: {lat}", flush=True)
+                    logger.close()
+                    return {"latency": lat}
+                metrics, _ = inference(cfg, eval_step, state, test_data)
+                log_iter = nbatches * ep + it + 1
+                for k, v in metrics.items():
+                    logger.add_scalar(k if k != "accuracy" else "Test/Acc",
+                                      v, log_iter)
+                print(f" accuracy {metrics['accuracy'] * 100:3.3f} %, "
+                      f"auc {metrics['roc_auc'] * 100:3.3f} %, "
+                      f"best {max(best_acc, metrics['accuracy']) * 100:3.3f} %",
+                      flush=True)
+                result = {"metrics": metrics}
+                if metrics["accuracy"] > best_acc:
+                    best_acc = metrics["accuracy"]
+                    if cfg.save_model:
+                        save_checkpoint(cfg.save_model, state, {
+                            "test_acc": best_acc, "epoch": ep,
+                            "iter": it + 1,
+                        })
+                        print(f"saved model to {cfg.save_model}", flush=True)
+    logger.close()
+    result["best_acc"] = best_acc
+    return result

@@ -1,0 +1,102 @@
+"""The fused train/eval step.
+
+One jitted function covers what the reference spreads across five host-side
+phases (main.py:360-377: forward / loss / backward / insert_grad /
+optimizer.step): embedding gather -> dense towers -> BCE -> backward ->
+sketch update + migration -> sparse + dense optimizer applies. Embedding
+tables never appear in the autodiff param tree — gradients are taken with
+respect to the *gathered rows*, and each embedding part converts row grads
+into scatter updates (see embeddings/base.py). This keeps every update
+O(batch) instead of O(vocab).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-7
+
+
+class TrainState(NamedTuple):
+    params: Any        # dense tower params
+    embed: Any         # embedding tables / sketch / optimizer slots
+    embed_dense: Any   # differentiable embedding params (MDE projections)
+    opt: Any           # dense-optimizer slots (adagrad accumulators) or None
+    step: jnp.ndarray  # int32 global step
+
+
+def init_state(model, embed_layer, seed: int, optimizer: str) -> TrainState:
+    key = jax.random.PRNGKey(seed)
+    params = model.init(key)
+    embed_state, embed_dense = embed_layer.init(seed)
+    opt = None
+    if optimizer == "adagrad":
+        opt = jax.tree.map(jnp.zeros_like, (params, embed_dense))
+    return TrainState(params, embed_state, embed_dense, opt,
+                      jnp.zeros((), jnp.int32))
+
+
+def _dense_update(params, grads, acc, lr, kind):
+    if kind == "sgd":
+        return jax.tree.map(lambda p, g: p - lr * g, params, grads), acc
+    # adagrad (torch semantics, eps 1e-10)
+    new_acc = jax.tree.map(lambda a, g: a + g * g, acc, grads)
+    new_params = jax.tree.map(
+        lambda p, g, a: p - lr * g / (jnp.sqrt(a) + 1e-10),
+        params, grads, new_acc)
+    return new_params, new_acc
+
+
+def _bce(p, y, w):
+    p = jnp.clip(p, EPS, 1.0 - EPS)
+    losses = -(y * jnp.log(p) + (1.0 - y) * jnp.log1p(-p))
+    return jnp.sum(losses * w) / jnp.sum(w)
+
+
+def build_train_step(model, embed_layer, cfg):
+    lr = cfg.learning_rate
+    opt_kind = cfg.optimizer
+
+    @jax.jit
+    def train_step(state: TrainState, dense_x, ids, labels, valid
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        b = ids.shape[0]
+        w = (jnp.arange(b) < valid).astype(jnp.float32)
+        raws, auxs = embed_layer.gather(state.embed, ids)
+
+        def loss_fn(params, embed_dense, raws):
+            feats = embed_layer.transform(embed_dense, raws)
+            p = model.apply(params, dense_x, feats)
+            return _bce(p, labels, w), p
+
+        (loss, p), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                state.params, state.embed_dense, raws)
+        g_params, g_embed_dense, g_raws = grads
+
+        (params, embed_dense), opt = _dense_update(
+            (state.params, state.embed_dense), (g_params, g_embed_dense),
+            state.opt, lr, opt_kind)
+        embed, stats = embed_layer.apply_grads(state.embed, ids, g_raws,
+                                               auxs, lr)
+        acc = jnp.sum((jnp.round(p) == labels) * w)
+        metrics = {"loss": loss, "correct": acc, "weight": jnp.sum(w),
+                   **stats}
+        return TrainState(params, embed, embed_dense, opt,
+                          state.step + 1), metrics
+
+    return train_step
+
+
+def build_eval_step(model, embed_layer):
+    @jax.jit
+    def eval_step(state: TrainState, dense_x, ids):
+        raws, _ = embed_layer.gather(state.embed, ids)
+        feats = embed_layer.transform(state.embed_dense, raws)
+        return model.apply(state.params, dense_x, feats)
+
+    return eval_step

@@ -1,0 +1,206 @@
+"""Embedding parts: sizing formulas, gather/update semantics, CAFE routing."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cafe_tpu.config import Config
+from cafe_tpu.embeddings import build_embedding_layer, sizing
+from cafe_tpu.embeddings.base import HashedTablePart, QRPart, MDEGroupPart
+from cafe_tpu.embeddings.cafe import CafePart
+
+
+class TestSizing:
+    def test_compress_threshold(self):
+        assert sizing.compress_threshold(0.5) == 1000.0
+
+    def test_qr_collisions_reference_formula(self):
+        counts = [10000, 20000, 30000]
+        cr = 0.05
+        coll = sizing.qr_collisions(counts, cr)
+        ntotal = 60000
+        # memory rows ~= ntotal/coll + coll*nfields should be ~ ntotal*cr
+        import math
+        tobe = (ntotal * cr) ** 2 - 4 * ntotal
+        expect = int(math.ceil((ntotal * cr - math.sqrt(tobe)) / 2))
+        assert coll == expect
+
+    def test_mde_dims_hit_target(self):
+        counts = [100, 1000, 10000, 100000]
+        dims = sizing.mde_dims(counts, 0.2, 32)
+        cr = sum(d * n for d, n in zip(dims, counts)) / (sum(counts) * 32)
+        assert cr <= 0.25
+        # biggest table gets the smallest dim
+        assert dims[np.argmax(counts)] == min(dims)
+        assert max(dims) <= 32
+
+    def test_cafe_hotn_budget(self):
+        counts = [1000000] * 10
+        dim = 16
+        hotn = sizing.cafe_hotn(counts, 0.01, dim, 0.5)
+        assert hotn == int(1e7 * 0.01 * 0.5 * (64 / 112))
+
+    def test_full_fallback_when_all_small(self):
+        cfg = Config(compress_method="hash", compress_rate=0.5)
+        # threshold = 1000; all fields smaller -> single full part
+        layer = build_embedding_layer(cfg, [100, 200], 8)
+        assert len(layer.parts) == 1
+        assert layer.parts[0].real_ns == [100, 200]
+
+
+class TestParts:
+    def test_hashed_gather_and_sgd(self):
+        p = HashedTablePart([0, 1], [10, 20], [5, 20], dim=4)
+        rng = np.random.default_rng(0)
+        state = p.init(rng)
+        ids = jnp.asarray([[7, 3], [6, 3]], jnp.int32)  # field0 mods by 5
+        raw, aux = p.gather(state, ids)
+        table = np.asarray(state["table"])
+        np.testing.assert_allclose(raw[0, 0], table[7 % 5])
+        np.testing.assert_allclose(raw[0, 1], table[5 + 3])
+        g = jnp.ones((2, 2, 4), jnp.float32)
+        state2, _ = p.apply_grads(state, ids, g, aux, lr=0.5)
+        t2 = np.asarray(state2["table"])
+        np.testing.assert_allclose(t2[2], table[2] - 0.5)       # id 7%5=2
+        # duplicate row (field1 id 3 twice) accumulates both grads
+        np.testing.assert_allclose(t2[5 + 3], table[5 + 3] - 1.0)
+
+    def test_qr_sum_semantics(self):
+        p = QRPart([0], [100], collisions=10, dim=4)
+        state = p.init(np.random.default_rng(0))
+        ids = jnp.asarray([[37]], jnp.int32)
+        raw, aux = p.gather(state, ids)
+        q = np.asarray(state["q"])
+        r = np.asarray(state["r"])
+        np.testing.assert_allclose(raw[0, 0], q[3] + r[7], rtol=1e-6)
+
+    def test_mde_projection_shapes(self):
+        p = MDEGroupPart([0, 1], [500, 600], low_dim=4, base_dim=16)
+        rng = np.random.default_rng(0)
+        state = p.init(rng)
+        dense = p.init_dense(rng)
+        ids = jnp.zeros((3, 2), jnp.int32)
+        raw, _ = p.gather(state, ids)
+        assert raw.shape == (3, 2, 4)
+        feats = p.transform(dense, raw)
+        assert feats.shape == (3, 2, 16)
+
+    def test_adagrad_accumulates(self):
+        p = HashedTablePart([0], [10], [10], dim=2, optimizer="adagrad")
+        state = p.init(np.random.default_rng(0))
+        ids = jnp.asarray([[3]], jnp.int32)
+        raw, aux = p.gather(state, ids)
+        g = jnp.full((1, 1, 2), 2.0)
+        state2, _ = p.apply_grads(state, ids, g, aux, lr=1.0)
+        acc = np.asarray(state2["table_acc"])
+        assert acc[3, 0] == pytest.approx(4.0)
+        t0 = np.asarray(state["table"])
+        t2 = np.asarray(state2["table"])
+        np.testing.assert_allclose(t2[3], t0[3] - 1.0 * 2.0 / (2.0 + 1e-10),
+                                   rtol=1e-6)
+
+
+class TestCafePart:
+    def _part(self, hotn=32, threshold=3.0):
+        return CafePart(
+            field_idx=[0, 1], counts=[100, 200], global_offsets=[0, 100],
+            hotn=hotn, hash_sizes=[10, 20], dim=4,
+            sketch_threshold=threshold, sketch_decay=0.99, max_count=200)
+
+    def test_cold_then_hot_routing(self):
+        p = self._part()
+        state = p.init(np.random.default_rng(0))
+        ids = jnp.asarray([[5, 7]] * 4, jnp.int32)
+        raw, (oids, slot, hrow, is_hot) = p.gather(state, ids)
+        assert not bool(np.asarray(is_hot).any())
+        # cold rows come from the hash table at offset-id % hash_size
+        hsh = np.asarray(state["hash"])
+        np.testing.assert_allclose(raw[0, 0], hsh[5 % 10])
+        np.testing.assert_allclose(raw[0, 1], hsh[10 + (107 % 20)])
+
+        # drive importance over the threshold -> promotion + hot routing
+        g = jnp.ones((4, 2, 4), jnp.float32)
+        for _ in range(4):
+            raw, aux = p.gather(state, ids)
+            state, stats = p.apply_grads(state, ids, g, aux, lr=0.0)
+        assert int(stats["cafe_promotions"]) >= 0
+        raw, (oids, slot, hrow, is_hot) = p.gather(state, ids)
+        assert bool(np.asarray(is_hot).all())
+        assert float(np.asarray(stats["cafe_hot_frac"])) >= 0.0
+
+    def test_migration_copies_cold_row(self):
+        p = self._part(threshold=2.0)
+        state = p.init(np.random.default_rng(1))
+        ids = jnp.asarray([[9, 9]], jnp.int32)[:, :1]  # single field0 id 9
+        ids = jnp.asarray([[9, 0]], jnp.int32)
+        hash_before = np.asarray(state["hash"]).copy()
+        g = jnp.ones((1, 2, 4), jnp.float32)
+        # lr=0 so tables do not move; only promotion + migration happen
+        for _ in range(3):
+            raw, aux = p.gather(state, ids)
+            state, _ = p.apply_grads(state, ids, g, aux, lr=0.0)
+        raw, (oids, slot, hrow, is_hot) = p.gather(state, ids)
+        assert bool(is_hot[0, 0])
+        s = int(slot[0, 0])
+        np.testing.assert_allclose(np.asarray(state["high"])[s],
+                                   hash_before[9 % 10])
+
+    def test_grad_updates_served_table_only(self):
+        p = self._part(threshold=1e9)  # never promotes
+        state = p.init(np.random.default_rng(2))
+        high_before = np.asarray(state["high"]).copy()
+        ids = jnp.asarray([[5, 7]], jnp.int32)
+        raw, aux = p.gather(state, ids)
+        g = jnp.ones((1, 2, 4), jnp.float32)
+        state, _ = p.apply_grads(state, ids, g, aux, lr=0.1)
+        np.testing.assert_allclose(np.asarray(state["high"]), high_before)
+        hsh = np.asarray(state["hash"])
+        # served cold rows moved by -lr*g
+        assert not np.allclose(hsh[5 % 10], np.asarray(raw[0, 0]))
+
+    def test_use_freq_mode(self):
+        p = CafePart([0], [50], [0], hotn=16, hash_sizes=[5], dim=4,
+                     sketch_threshold=2.0, sketch_decay=0.99, max_count=50,
+                     use_freq=True)
+        state = p.init(np.random.default_rng(3))
+        ids = jnp.asarray([[3]], jnp.int32)
+        g = jnp.zeros((1, 1, 4), jnp.float32)  # zero grads; freq still counts
+        for _ in range(3):
+            raw, aux = p.gather(state, ids)
+            state, _ = p.apply_grads(state, ids, g, aux, lr=0.0)
+        raw, (_, _, _, is_hot) = p.gather(state, ids)
+        assert bool(is_hot[0, 0])
+
+
+class TestDispatcher:
+    def test_methods_construct(self):
+        counts = [5000, 300, 8000]
+        for method, cr in [("full", 1.0), ("hash", 0.1), ("qr", 0.05),
+                           ("mde", 0.1), ("cafe", 0.1), ("ada", 0.5)]:
+            cfg = Config(compress_method=method, compress_rate=cr,
+                         embedding_dim=8, cafe_sketch_threshold=5)
+            layer = build_embedding_layer(cfg, counts, 8)
+            state, dense = layer.init(0)
+            ids = jnp.asarray(np.random.default_rng(0).integers(
+                0, 300, size=(4, 3)), jnp.int32)
+            raws, auxs = layer.gather(state, ids)
+            feats = layer.transform(dense, raws)
+            assert feats.shape == (4, 3, 8)
+
+    def test_field_permutation_order(self):
+        # big field sandwiched between small ones; outputs must align
+        cfg = Config(compress_method="cafe", compress_rate=0.1,
+                     embedding_dim=4, cafe_sketch_threshold=1e9)
+        counts = [10, 9000, 10]
+        layer = build_embedding_layer(cfg, counts, 4)
+        state, dense = layer.init(0)
+        ids = jnp.asarray([[1, 2, 3]], jnp.int32)
+        raws, _ = layer.gather(state, ids)
+        feats = layer.transform(dense, raws)
+        # field 0 and 2 come from the full part; they should equal direct
+        # gathers from that part's table in the right field positions
+        full_part = layer.parts[0]
+        assert full_part.field_idx == [0, 2]
+        t = np.asarray(state["part0"]["table"])
+        np.testing.assert_allclose(feats[0, 0], t[1])
+        np.testing.assert_allclose(feats[0, 2], t[10 + 3])

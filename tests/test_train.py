@@ -1,0 +1,173 @@
+"""End-to-end training tests: learning, CAFE > hash at low memory,
+checkpoint round-trip, all models, metric parity with sklearn."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cafe_tpu.config import Config
+from cafe_tpu.data import make_synthetic_arrays, batch_iterator
+from cafe_tpu.data.datasets import CTRArrays
+from cafe_tpu.embeddings import build_embedding_layer
+from cafe_tpu.models import MODELS
+from cafe_tpu.train import (
+    binary_metrics,
+    build_eval_step,
+    build_train_step,
+    init_state,
+    roc_auc,
+)
+from cafe_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from cafe_tpu.train.loop import build_all, get_dataset, inference, model_arch
+
+
+def _split(data, frac=6 / 7):
+    cut = int(len(data) * frac)
+    dense = data.dense
+    return (
+        CTRArrays(data.sparse[:cut],
+                  None if dense is None else dense[:cut],
+                  data.label[:cut], data.counts),
+        CTRArrays(data.sparse[cut:],
+                  None if dense is None else dense[cut:],
+                  data.label[cut:], data.counts),
+    )
+
+
+def _train_eval(cfg, train, test, epochs=2, batch=256):
+    model, embed, state, train_step, eval_step = build_all(cfg, train)
+    for _ in range(epochs):
+        for dense, sparse, label, valid in batch_iterator(
+                train, batch, drop_last=True):
+            dx = None if dense is None else jnp.asarray(dense)
+            state, m = train_step(state, dx, jnp.asarray(sparse),
+                                  jnp.asarray(label), valid)
+    metrics, _ = inference(cfg, eval_step, state, test)
+    return metrics, state
+
+
+@pytest.fixture(scope="module")
+def skewed_data():
+    return make_synthetic_arrays(rows=30000, fields=4, vocab=20000,
+                                 dense=4, zipf=1.3, seed=7)
+
+
+class TestLearning:
+    def test_full_embedding_learns(self, skewed_data):
+        train, test = _split(skewed_data)
+        cfg = Config(dataset="synthetic", compress_method=None,
+                     embedding_dim=8, learning_rate=0.1,
+                     test_mini_batch_size=4096)
+        metrics, _ = _train_eval(cfg, train, test, epochs=6)
+        assert metrics["roc_auc"] > 0.65
+
+    def test_cafe_beats_hash_at_low_memory(self, skewed_data):
+        """The headline claim (SIGMOD'24 fig. metric-vs-cr): under a tight
+        memory budget, routing hot ids to exclusive rows recovers most of
+        the full-table quality while plain hashing collides."""
+        train, test = _split(skewed_data)
+        base = Config(dataset="synthetic", embedding_dim=8,
+                      learning_rate=0.1, compress_rate=0.01,
+                      cafe_sketch_threshold=20.0, cafe_hash_rate=0.5,
+                      test_mini_batch_size=4096)
+        hash_cfg = dataclasses.replace(base, compress_method="hash")
+        cafe_cfg = dataclasses.replace(base, compress_method="cafe")
+        m_hash, _ = _train_eval(hash_cfg, train, test, epochs=3)
+        m_cafe, st = _train_eval(cafe_cfg, train, test, epochs=3)
+        # At unit-test scale the AUC gap is noisy; require parity here (the
+        # mechanism itself — promotion, routing, migration — is verified in
+        # test_embeddings.py). The full separation shows at dataset scale.
+        assert m_cafe["roc_auc"] > m_hash["roc_auc"] - 0.01
+        sk = st.embed["part0"]["sketch"]
+        assert int((np.asarray(sk.dic) != 0).sum()) > 0  # hot pool in use
+
+    def test_all_models_step(self, skewed_data):
+        train, test = _split(skewed_data)
+        for name in ["dlrm", "wdl", "dcn"]:
+            cfg = Config(dataset="synthetic", model=name, embedding_dim=8,
+                         learning_rate=0.05, compress_method=None)
+            model, embed, state, train_step, _ = build_all(cfg, train)
+            for dense, sparse, label, valid in batch_iterator(
+                    train, 128, drop_last=True):
+                state, m = train_step(state, jnp.asarray(dense),
+                                      jnp.asarray(sparse),
+                                      jnp.asarray(label), valid)
+                break
+            assert np.isfinite(float(m["loss"]))
+
+    def test_adagrad_optimizer(self, skewed_data):
+        train, test = _split(skewed_data)
+        cfg = Config(dataset="synthetic", optimizer="adagrad",
+                     embedding_dim=8, learning_rate=0.05,
+                     compress_method="cafe", compress_rate=0.01,
+                     cafe_sketch_threshold=20.0, test_mini_batch_size=4096)
+        metrics, _ = _train_eval(cfg, train, test, epochs=1)
+        assert np.isfinite(metrics["roc_auc"])
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, skewed_data):
+        train, test = _split(skewed_data)
+        cfg = Config(dataset="synthetic", compress_method="cafe",
+                     compress_rate=0.02, embedding_dim=8,
+                     cafe_sketch_threshold=10.0, learning_rate=0.1,
+                     test_mini_batch_size=4096)
+        model, embed, state, train_step, eval_step = build_all(cfg, train)
+        for i, (dense, sparse, label, valid) in enumerate(
+                batch_iterator(train, 256, drop_last=True)):
+            state, _ = train_step(state, jnp.asarray(dense),
+                                  jnp.asarray(sparse), jnp.asarray(label),
+                                  valid)
+            if i == 20:
+                break
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, state, {"test_acc": 0.5, "epoch": 0, "iter": 21})
+        _, _, fresh, _, eval_step2 = build_all(cfg, train)
+        restored, extra = load_checkpoint(path, fresh)
+        assert extra["iter"] == 21
+        dense, sparse, label, valid = next(iter(batch_iterator(test, 512)))
+        p1 = eval_step(state, jnp.asarray(dense), jnp.asarray(sparse))
+        p2 = eval_step2(restored, jnp.asarray(dense), jnp.asarray(sparse))
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+        # sketch state survived: same hot routing
+        sk1 = state.embed["part0"]["sketch"]
+        sk2 = restored.embed["part0"]["sketch"]
+        assert (np.asarray(sk1.dic) == np.asarray(sk2.dic)).all()
+        assert int(sk1.free_top) == int(sk2.free_top)
+
+
+class TestMetrics:
+    def test_matches_sklearn(self):
+        sklearn = pytest.importorskip("sklearn.metrics")
+        rng = np.random.default_rng(0)
+        y = rng.integers(0, 2, 1000)
+        s = np.clip(rng.normal(0.5, 0.2, 1000) + 0.1 * y, 0, 1)
+        m = binary_metrics(y, s)
+        assert m["roc_auc"] == pytest.approx(
+            sklearn.roc_auc_score(y, s), abs=1e-9)
+        assert m["ap"] == pytest.approx(
+            sklearn.average_precision_score(y, s), abs=1e-9)
+        assert m["f1"] == pytest.approx(
+            sklearn.f1_score(y, np.round(s)), abs=1e-9)
+
+    def test_auc_with_ties(self):
+        sklearn = pytest.importorskip("sklearn.metrics")
+        y = np.array([0, 1, 1, 0, 1, 0, 0, 1])
+        s = np.array([0.5, 0.5, 0.8, 0.2, 0.5, 0.5, 0.1, 0.9])
+        assert roc_auc(y, s) == pytest.approx(
+            sklearn.roc_auc_score(y, s), abs=1e-12)
+
+
+class TestModelArch:
+    def test_reference_shapes(self):
+        cfg = Config(dataset="criteo", embedding_dim=16)
+        ln_bot, ln_top = model_arch(cfg, 13, 26)
+        assert ln_bot == [13, 512, 256, 64, 16]
+        num_int = 27 * 26 // 2 + 16
+        assert ln_top == [num_int, 512, 256, 1]
+        cfg = Config(dataset="criteotb", embedding_dim=128)
+        ln_bot, ln_top = model_arch(cfg, 13, 26)
+        assert ln_bot == [13, 512, 256, 128]
+        assert ln_top == [27 * 26 // 2 + 128, 1024, 1024, 512, 256, 1]
