@@ -9,6 +9,7 @@ sketch buckets, free list, decay totals — one atomic save.
 
 from __future__ import annotations
 
+import json
 import os
 import os.path as osp
 from typing import Any, Dict, Optional, Tuple
@@ -24,8 +25,9 @@ def save_checkpoint(path: str, state: TrainState, extra: Dict) -> None:
     path = osp.abspath(path)
     os.makedirs(osp.dirname(path) or ".", exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, {"state": _to_pytree(state), "extra": extra},
-                   force=True)
+        ckptr.save(path, _to_pytree(state), force=True)
+    with open(path + ".meta.json", "w") as f:
+        json.dump(extra, f)
 
 
 def load_checkpoint(path: str, state: TrainState
@@ -33,11 +35,13 @@ def load_checkpoint(path: str, state: TrainState
     """Restore into the structure of `state` (shapes must match)."""
     path = osp.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        target = {"state": _to_pytree(state), "extra": None}
-        restored = ckptr.restore(path, target)
-    st = restored["state"]
+        st = ckptr.restore(path, _to_pytree(state))
+    extra: Dict = {}
+    if osp.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            extra = json.load(f)
     return TrainState(st["params"], st["embed"], st["embed_dense"],
-                      st["opt"], st["step"]), restored["extra"]
+                      st["opt"], st["step"]), extra
 
 
 def _to_pytree(state: TrainState) -> Dict[str, Any]:

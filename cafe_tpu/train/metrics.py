@@ -36,17 +36,24 @@ def roc_auc(y_true: np.ndarray, y_score: np.ndarray) -> float:
 
 
 def average_precision(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """AP = sum over distinct-threshold steps of (dRecall * Precision),
+    tied scores collapsing into one threshold (sklearn semantics)."""
     y_true = np.asarray(y_true).astype(np.float64)
-    order = np.argsort(-np.asarray(y_score, dtype=np.float64),
-                       kind="mergesort")
+    s = np.asarray(y_score, dtype=np.float64)
+    order = np.argsort(-s, kind="mergesort")
     yt = y_true[order]
-    tp = np.cumsum(yt)
-    k = np.arange(1, yt.size + 1)
-    precision = tp / k
+    ss = s[order]
     npos = yt.sum()
     if npos == 0:
         return float("nan")
-    return float((precision * yt).sum() / npos)
+    n = yt.size
+    last_of_group = np.concatenate([np.nonzero(np.diff(ss))[0], [n - 1]])
+    tp = np.cumsum(yt)[last_of_group]
+    k = last_of_group + 1.0
+    precision = tp / k
+    recall = tp / npos
+    drecall = np.diff(np.concatenate([[0.0], recall]))
+    return float((drecall * precision).sum())
 
 
 def binary_metrics(y_true: np.ndarray, y_score: np.ndarray) -> Dict[str, float]:
