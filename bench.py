@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark: fused DLRM+CAFE train-step throughput on one chip.
+
+Protocol mirrors the reference's latency harness (tasks/latency.json +
+main.py:420-447: train batch 2048, compress-rate in the CAFE operating
+range) on Criteo-Kaggle-shaped data: the real per-field vocabulary sizes
+(sum 33.76M, cited in tricks/sketchtest.py:41-45), 13 dense features,
+dim 16, DLRM, CAFE cr=0.001 — the BASELINE.json headline config.
+
+The measured step includes EVERYTHING the reference counts in its ms/it:
+embedding gather + sketch query, dense fwd/bwd, BCE, grad-norm scoring,
+sketch insert + promotion/migration, sparse + dense optimizer applies.
+
+Baseline: the reference's single-GPU protocol on its RTX TITAN rig measures
+ms/it at batch 2048; CAFE's published latency band corresponds to roughly
+145K examples/s (2048 / ~14ms). vs_baseline is measured against that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+# Criteo Kaggle per-field vocabulary sizes (26 fields, sum = 33,762,577)
+CRITEO_COUNTS = [
+    1460, 583, 10131227, 2202608, 305, 24, 12517, 633, 3, 93145, 5683,
+    8351593, 3194, 27, 14992, 5461306, 10, 5652, 2173, 4, 7046547, 18, 15,
+    286181, 105, 142572,
+]
+
+BASELINE_EXAMPLES_PER_S = 145_000.0
+
+BATCH = 2048
+WARMUP = 10
+STEPS = 100
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from cafe_tpu.config import Config
+    from cafe_tpu.data.datasets import CTRArrays
+    from cafe_tpu.train.loop import build_all
+
+    cfg = Config(
+        dataset="criteo", model="dlrm", embedding_dim=16,
+        compress_method="cafe", compress_rate=0.001,
+        cafe_sketch_threshold=500.0, cafe_hash_rate=0.5,
+        mini_batch_size=BATCH, learning_rate=0.1, optimizer="sgd",
+        bf16=True,
+    )
+    counts = np.asarray(CRITEO_COUNTS, dtype=np.int64)
+
+    rng = np.random.default_rng(0)
+    rows = BATCH * 8
+    # Zipf-ish skewed ids per field (cheap approximation: squared uniforms
+    # concentrate mass at low ids, then scattered by a fixed permutation)
+    sparse = np.empty((rows, len(counts)), dtype=np.int32)
+    for f, n in enumerate(counts):
+        u = rng.random(rows) ** 4.0
+        sparse[:, f] = (u * n).astype(np.int64) % n
+    dense = np.log1p(rng.gamma(2.0, 2.0, (rows, 13))).astype(np.float32)
+    label = rng.integers(0, 2, rows).astype(np.float32)
+    train_data = CTRArrays(sparse, dense, label,
+                           counts.astype(np.int32))
+
+    model, embed, state, train_step, _ = build_all(cfg, train_data)
+
+    # pre-stage batches on device so the loop measures compute, not host IO
+    batches = []
+    for b in range(rows // BATCH):
+        lo = b * BATCH
+        batches.append((
+            jax.device_put(jnp.asarray(dense[lo:lo + BATCH])),
+            jax.device_put(jnp.asarray(sparse[lo:lo + BATCH])),
+            jax.device_put(jnp.asarray(label[lo:lo + BATCH])),
+            jnp.asarray(BATCH, jnp.int32),
+        ))
+
+    for i in range(WARMUP):
+        d, s, l, v = batches[i % len(batches)]
+        state, metrics = train_step(state, d, s, l, v)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.time()
+    for i in range(STEPS):
+        d, s, l, v = batches[i % len(batches)]
+        state, metrics = train_step(state, d, s, l, v)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+
+    examples_per_s = BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": "dlrm_cafe_train_examples_per_s",
+        "value": round(examples_per_s, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
