@@ -92,7 +92,10 @@ def build_embedding_layer(cfg, counts, dim: int,
                         [sizing.cafe_hash_size(counts[i], cr,
                                                cfg.cafe_hash_rate)],
                         dim, cfg.cafe_sketch_threshold, cfg.cafe_decay,
-                        counts[i], opt, cfg.cafe_use_freq))
+                        counts[i], opt, cfg.cafe_use_freq,
+                        plus=cfg.cafe_plus,
+                        adjust_threshold=cfg.cafe_adjust_threshold,
+                        alpha=cfg.cafe_alpha))
                 else:  # too small for a hot pool -> plain hash fallback
                     parts.append(HashedTablePart(
                         [i], [counts[i]],
@@ -106,7 +109,10 @@ def build_embedding_layer(cfg, counts, dim: int,
                     [sizing.cafe_hash_size(counts[i], cr, cfg.cafe_hash_rate)
                      for i in big],
                     dim, cfg.cafe_sketch_threshold, cfg.cafe_decay,
-                    max_count, opt, cfg.cafe_use_freq))
+                    max_count, opt, cfg.cafe_use_freq,
+                    plus=cfg.cafe_plus,
+                    adjust_threshold=cfg.cafe_adjust_threshold,
+                    alpha=cfg.cafe_alpha))
             else:
                 real = [int(np.ceil(counts[i] * cr)) for i in big]
                 parts.append(HashedTablePart(big, [counts[i] for i in big],

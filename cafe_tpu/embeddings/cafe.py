@@ -35,6 +35,12 @@ from ..sketch.hotsketch import (
     sketch_insert,
     sketch_query,
 )
+from ..sketch.hotsketch_plus import (
+    CafePlusConfig,
+    init_sketch_plus,
+    sketch_insert_plus,
+    sketch_query_plus,
+)
 from .base import Part, _offsets, _uniform_init, round_up
 
 
@@ -44,7 +50,8 @@ class CafePart(Part):
                  hash_sizes: List[int], dim: int,
                  sketch_threshold: float, sketch_decay: float,
                  max_count: int, optimizer: str = "sgd",
-                 use_freq: bool = False):
+                 use_freq: bool = False, plus: bool = False,
+                 adjust_threshold: bool = True, alpha: float = 1.000001):
         self.field_idx = list(field_idx)
         self.counts = [int(c) for c in counts]
         self.global_offsets = [int(o) for o in global_offsets]
@@ -56,9 +63,21 @@ class CafePart(Part):
         self.max_count = int(max_count)  # max vocab across ALL fields
         self.hash_off = _offsets(self.hash_sizes)
         self.hash_rows = int(sum(self.hash_sizes))
-        self.sketch_cfg = HotSketchConfig(
-            buckets=self.hotn, threshold=float(sketch_threshold),
-            decay=float(sketch_decay))
+        self.plus = plus
+        if plus:
+            self.sketch_cfg = CafePlusConfig(
+                lim=self.hotn, threshold=float(sketch_threshold),
+                alpha=float(alpha), adjust_threshold=adjust_threshold)
+            self._sk_init = init_sketch_plus
+            self._sk_query = sketch_query_plus
+            self._sk_insert = sketch_insert_plus
+        else:
+            self.sketch_cfg = HotSketchConfig(
+                buckets=self.hotn, threshold=float(sketch_threshold),
+                decay=float(sketch_decay))
+            self._sk_init = init_sketch
+            self._sk_query = sketch_query
+            self._sk_insert = sketch_insert
 
     def init(self, rng: np.random.Generator) -> Dict:
         high_scale = np.sqrt(1.0 / self.max_count)  # init_embed.py:119
@@ -71,7 +90,7 @@ class CafePart(Part):
             "high": jnp.asarray(high),
             "hash": jnp.asarray(_uniform_init(rng, self.hash_sizes, scales,
                                               self.dim)),
-            "sketch": init_sketch(self.sketch_cfg),
+            "sketch": self._sk_init(self.sketch_cfg),
         }
         state = self._maybe_acc(state, "high")
         return self._maybe_acc(state, "hash")
@@ -83,7 +102,7 @@ class CafePart(Part):
     def gather(self, state: Dict, ids: jnp.ndarray):
         b, f = ids.shape
         oids = self._oids(ids)
-        q = sketch_query(self.sketch_cfg, state["sketch"],
+        q = self._sk_query(self.sketch_cfg, state["sketch"],
                          oids.reshape(-1)).reshape(b, f)
         is_hot = q < 0
         slot = jnp.where(is_hot, -q, 0)
@@ -108,7 +127,7 @@ class CafePart(Part):
             scores = norms * b / (jnp.sum(norms, axis=0, keepdims=True)
                                   + 1e-30)
 
-        sk, promo = sketch_insert(self.sketch_cfg, state["sketch"],
+        sk, promo = self._sk_insert(self.sketch_cfg, state["sketch"],
                                   oids.reshape(-1), scores.reshape(-1))
 
         # migration BEFORE the optimizer touches the cold rows, matching the

@@ -1,0 +1,156 @@
+"""CAFE+ two-tier sketch tests: staging graduation, LRU displacement,
+adaptive threshold reset, lazy decay, end-to-end with CafePart."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cafe_tpu.sketch.hotsketch import INVALID_ID
+from cafe_tpu.sketch.hotsketch_plus import (
+    CafePlusConfig,
+    init_sketch_plus,
+    sketch_insert_plus,
+    sketch_query_plus,
+)
+
+
+def pad_ids(ids, scores, width):
+    out_i = np.full(width, INVALID_ID, dtype=np.int32)
+    out_s = np.zeros(width, dtype=np.float32)
+    out_i[: len(ids)] = ids
+    out_s[: len(ids)] = scores
+    return jnp.asarray(out_i), jnp.asarray(out_s)
+
+
+class TestTwoTier:
+    def test_new_ids_enter_staging_not_main(self):
+        cfg = CafePlusConfig(lim=64, threshold=100.0)
+        st = init_sketch_plus(cfg)
+        st, _ = sketch_insert_plus(cfg, st, *pad_ids([11, 22], [1.0, 1.0], 8))
+        assert int((np.asarray(st.cnt2) > 0).sum()) == 2
+        assert int((np.asarray(st.cnt1) > 0).sum()) == 0
+
+    def test_graduation_to_main_tier_with_slot(self):
+        cfg = CafePlusConfig(lim=64, threshold=5.0, adjust_threshold=False)
+        st = init_sketch_plus(cfg)
+        st, _ = sketch_insert_plus(cfg, st, *pad_ids([7], [3.0], 8))
+        st, res = sketch_insert_plus(cfg, st, *pad_ids([7], [3.0], 8))
+        # crossed threshold while staged: promoted + moved to main tier
+        assert bool(res.mask.any())
+        assert int((np.asarray(st.cnt1) > 0).sum()) == 1
+        v1 = np.asarray(st.val1)
+        assert 7 in v1[np.asarray(st.cnt1) > 0].tolist()
+        # staging cell cleared
+        assert int((np.asarray(st.cnt2) > 0).sum()) == 0
+        q = int(sketch_query_plus(cfg, st, jnp.asarray([7]))[0])
+        assert q < 0
+
+    def test_staged_hot_id_visible_to_query(self):
+        # promotion can happen while still staged (before graduation step
+        # completes); v3 query consults both tiers
+        cfg = CafePlusConfig(lim=64, threshold=2.0, adjust_threshold=False)
+        st = init_sketch_plus(cfg)
+        st, _ = sketch_insert_plus(cfg, st, *pad_ids([9], [1.0], 8))
+        st, res = sketch_insert_plus(cfg, st, *pad_ids([9], [1.5], 8))
+        assert bool(res.mask.any())
+        assert int(sketch_query_plus(cfg, st, jnp.asarray([9]))[0]) < 0
+
+    def test_lru_displacement_moves_worthy_victim(self):
+        cfg = CafePlusConfig(lim=512, threshold=1e9, cells=2,
+                             adjust_threshold=False)
+        st = init_sketch_plus(cfg)
+        # fill one staging bucket: find ids mapping to same staging bucket
+        from cafe_tpu.sketch.hotsketch_plus import _h2
+        ids = []
+        target = None
+        for x in range(1, 100000):
+            h = int(_h2(cfg, jnp.asarray([x]))[0])
+            if target is None:
+                target = h
+                ids.append(x)
+            elif h == target:
+                ids.append(x)
+            if len(ids) == 3:
+                break
+        a, b, c = ids
+        st, _ = sketch_insert_plus(cfg, st, *pad_ids([a], [6.0], 8))
+        st, _ = sketch_insert_plus(cfg, st, *pad_ids([b], [1.0], 8))
+        # bucket full (2 cells); inserting c displaces LRU victim = a
+        # (a is older); a has cnt 6 >= 5 so it moves to the main tier
+        st, _ = sketch_insert_plus(cfg, st, *pad_ids([c], [1.0], 8))
+        v1 = np.asarray(st.val1)
+        c1 = np.asarray(st.cnt1)
+        assert a in v1[c1 > 0].tolist()
+        v2 = np.asarray(st.val2)
+        c2 = np.asarray(st.cnt2)
+        live2 = v2[c2 > 0].tolist()
+        assert c in live2 and b in live2 and a not in live2
+
+    def test_adaptive_threshold_reset(self):
+        cfg = CafePlusConfig(lim=8, threshold=1.0, adjust_threshold=True)
+        st = init_sketch_plus(cfg)
+        rng = np.random.default_rng(0)
+        # flood with ids crossing threshold -> real_n exceeds 1.2*lim ->
+        # reset raises the threshold above its initial value
+        for i in range(40):
+            ids = np.arange(i * 8, i * 8 + 8, dtype=np.int32)
+            st, _ = sketch_insert_plus(
+                cfg, st, jnp.asarray(ids), jnp.full(8, 2.0, jnp.float32))
+            st, _ = sketch_insert_plus(
+                cfg, st, jnp.asarray(ids), jnp.full(8, 2.0, jnp.float32))
+        assert float(st.threshold) > 1.0
+        # hot slots never exceed capacity and stay unique
+        d1 = np.asarray(st.dic1)
+        d2 = np.asarray(st.dic2)
+        used = np.concatenate([d1[d1 != 0], d2[d2 != 0]])
+        assert len(used) == len(set(used.tolist()))
+        assert len(used) <= cfg.lim - 1
+
+    def test_decay_divides_counts_and_threshold(self):
+        cfg = CafePlusConfig(lim=64, threshold=1000.0, alpha=10001.0,
+                             adjust_threshold=False)
+        st = init_sketch_plus(cfg)
+        st, _ = sketch_insert_plus(cfg, st, *pad_ids([5], [40.0], 8))
+        thr0 = float(st.threshold)
+        # next insert trips decay_acc (1 * 10001 > 10000)
+        st, _ = sketch_insert_plus(cfg, st, *pad_ids([6], [1.0], 8))
+        assert float(st.threshold) == pytest.approx(thr0 / 10000.0)
+        c2 = np.asarray(st.cnt2)
+        assert c2[c2 > 0].min() >= 40.0 / 10000.0 - 1e-9
+
+    def test_recall_on_zipf_stream(self):
+        rng = np.random.default_rng(3)
+        vocab = 4000
+        ranks = np.arange(1, vocab + 1, dtype=np.float64)
+        p = ranks ** (-1.2)
+        p /= p.sum()
+        stream = rng.choice(vocab, size=60000, p=p).astype(np.int32)
+        cfg = CafePlusConfig(lim=512, threshold=8.0)
+        st = init_sketch_plus(cfg)
+        for lo in range(0, len(stream), 512):
+            chunk = stream[lo:lo + 512]
+            st, _ = sketch_insert_plus(cfg, st, jnp.asarray(chunk),
+                                       jnp.ones(len(chunk), jnp.float32))
+        counts = np.bincount(stream, minlength=vocab)
+        d1, v1 = np.asarray(st.dic1), np.asarray(st.val1)
+        d2, v2 = np.asarray(st.dic2), np.asarray(st.val2)
+        hot = set(v1[d1 != 0].tolist()) | set(v2[d2 != 0].tolist())
+        ideal = set(np.argsort(-counts)[: len(hot)].tolist())
+        recall = len(ideal & hot) / max(1, len(ideal))
+        assert recall > 0.6
+
+
+class TestCafePlusPart:
+    def test_end_to_end_routing(self):
+        from cafe_tpu.embeddings.cafe import CafePart
+        p = CafePart([0], [1000], [0], hotn=64, hash_sizes=[50], dim=4,
+                     sketch_threshold=2.0, sketch_decay=0.99, max_count=1000,
+                     plus=True)
+        state = p.init(np.random.default_rng(0))
+        ids = jnp.asarray([[5]], jnp.int32)
+        g = jnp.ones((1, 1, 4), jnp.float32)
+        for _ in range(4):
+            raw, aux = p.gather(state, ids)
+            state, stats = p.apply_grads(state, ids, g, aux, lr=0.01)
+        raw, (_, _, _, is_hot) = p.gather(state, ids)
+        assert bool(is_hot[0, 0])
