@@ -25,7 +25,7 @@ class Config:
     embedding_dim: int = 16
     max_ind_range: int = -1
     # embedding compression
-    compress_method: Optional[str] = None  # None|hash|mde|qr|ada|cafe|off|full
+    compress_method: Optional[str] = None  # None|hash|mde|qr|ada|cafe|off|full|ae
     compress_rate: float = 0.001
     # mde
     md_round_dims: bool = False
@@ -100,7 +100,7 @@ def build_parser() -> argparse.ArgumentParser:
         elif f.name == "compress_method":
             p.add_argument(name, type=str, default=None,
                            choices=[None, "hash", "mde", "qr", "ada", "cafe",
-                                    "off", "full"])
+                                    "off", "full", "ae"])
         elif f.name == "mesh_shape":
             p.add_argument(name, type=int, default=None)
         elif isinstance(default, int):

@@ -121,6 +121,16 @@ def build_embedding_layer(cfg, counts, dim: int,
         full_part(small)
         hotn = sizing.ada_hotn(counts, cr, dim)
         parts.append(AdaPart(big, [counts[i] for i in big], hotn, dim, opt))
+    elif method == "ae":
+        from .ae import AEGroupPart
+        dims = sizing.mde_dims(counts, cr, dim, cfg.md_round_dims)
+        full_part(small)
+        groups = {}
+        for i in big:
+            groups.setdefault(int(dims[i]), []).append(i)
+        for low_dim, fields in sorted(groups.items()):
+            parts.append(AEGroupPart(fields, [counts[i] for i in fields],
+                                     low_dim, dim, opt))
     else:
         raise ValueError(f"unknown compress method {method}")
 

@@ -145,6 +145,28 @@ def run(cfg: Config) -> Dict:
         logger.close()
         return {"metrics": metrics}
 
+    # autoencoder pretraining phase (autoencoder.py:1383: first 0.001% of
+    # batches train only the per-field autoencoders; embeddings are frozen
+    # for the main run)
+    if cfg.method == "ae" and not cfg.load_model:
+        from ..embeddings.ae import AEGroupPart, pretrain_batches
+        n_pre = pretrain_batches(nbatches)
+        pre_steps = {i: jax.jit(p.pretrain_step)
+                     for i, p in enumerate(embed.parts)
+                     if isinstance(p, AEGroupPart)}
+        embed_state = dict(state.embed)
+        for it, (dense, sparse, label, valid) in enumerate(
+                batch_iterator(train_data, cfg.mini_batch_size)):
+            if it >= n_pre:
+                break
+            for i, step_fn in pre_steps.items():
+                cols = jnp.asarray(sparse)[:, np.asarray(
+                    embed.parts[i].field_idx)]
+                embed_state[f"part{i}"] = step_fn(
+                    embed_state[f"part{i}"], cols)
+        state = state._replace(embed=embed_state)
+        print(f"autoencoder pretraining done ({n_pre} batches)", flush=True)
+
     result = {}
     total_loss, total_samp, total_iter = 0.0, 0.0, 0
     t_window = time.time()

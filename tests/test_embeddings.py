@@ -204,3 +204,35 @@ class TestDispatcher:
         t = np.asarray(state["part0"]["table"])
         np.testing.assert_allclose(feats[0, 0], t[1])
         np.testing.assert_allclose(feats[0, 2], t[10 + 3])
+
+
+class TestAutoencoder:
+    def test_pretrain_reconstruction_improves(self):
+        from cafe_tpu.embeddings.ae import AEGroupPart
+        import jax
+        p = AEGroupPart([0], [50], low_dim=4, base_dim=8)
+        state = p.init(np.random.default_rng(0))
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(0, 50, (32, 1)), jnp.int32)
+
+        def recon_loss(st):
+            emb, _ = p._embed(st, ids)
+            h = jnp.einsum("bfe,fed->bfd", emb, st["fc1_w"]) + st["fc1_b"][None]
+            v = jnp.einsum("bfd,fdn->bfn", h, st["fc2_w"]) + st["fc2_b"][None]
+            onehot = jax.nn.one_hot(ids, p.max_n, dtype=v.dtype)
+            return float(jnp.sum((v - onehot) ** 2) / 32)
+
+        before = recon_loss(state)
+        for _ in range(30):
+            state = p.pretrain_step(state, ids)
+        after = recon_loss(state)
+        assert after < before * 0.5
+
+    def test_frozen_after_pretrain(self):
+        from cafe_tpu.embeddings.ae import AEGroupPart
+        p = AEGroupPart([0], [50], low_dim=4, base_dim=8)
+        state = p.init(np.random.default_rng(0))
+        ids = jnp.zeros((4, 1), jnp.int32)
+        raw, aux = p.gather(state, ids)
+        state2, _ = p.apply_grads(state, ids, jnp.ones_like(raw), aux, 0.1)
+        assert state2 is state  # no-op: embeddings frozen
