@@ -154,19 +154,36 @@ class InsertResult(NamedTuple):
 def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
                   ids: jnp.ndarray, scores: jnp.ndarray,
                   ) -> Tuple[HotSketchState, InsertResult]:
-    """Batched insert of (id, importance) pairs.
+    """Batched insert of (id, importance) pairs — SORTLESS design.
 
     Padded lanes must carry id == INVALID_ID (their scores are ignored).
-    Equivalent to the reference's batch_insert_val loop (sketch.cpp:142-150)
-    with intra-batch duplicates pre-combined.
+    Equivalent to the reference's batch_insert_val loop (sketch.cpp:142-150);
+    intra-batch duplicates combine through scatter-adds instead of an
+    explicit sort+segment-sum (an earlier design sorted the batch; the sort
+    was ~4x the cost of everything else on TPU).
+
+    Per round:
+      * matched lanes scatter-ADD their scores into their cell — XLA
+        combines duplicate (bucket, cell) indices natively;
+      * one deterministic representative per bucket (the smallest pending
+        id, chosen by a min-claim scatter) performs new-id placement /
+        Space-Saving eviction, so writers never conflict; duplicate lanes
+        of the winning id add their scores to the freshly placed cell;
+      * losers retry next round (they usually match what round 1 placed).
+
+    Promotion then runs as a sweep over the batch's *touched buckets*: any
+    occupied cell with cnt >= threshold, no slot, and not freshly placed
+    this call (reference semantics: brand-new ids never promote on the
+    insert that placed them, sketch.cpp:113-118) gets a slot from the free
+    stack by prefix-sum rank.
     """
     b = ids.shape[0]
     s, c = cfg.buckets, cfg.cells
     sp = state.val.shape[0]  # physical (padded) rows; used as drop index
     k = jnp.float32(cfg.threshold)
 
-    valid_in = ids != INVALID_ID
-    scores = jnp.where(valid_in, scores, 0.0)
+    valid = ids != INVALID_ID
+    scores = jnp.where(valid, scores, 0.0)
 
     # occasional global decay (sketch.cpp:135: tot > s*k*10)
     state = jax.lax.cond(
@@ -176,80 +193,84 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
         state,
     )
 
-    # ---- sort + dedup: duplicate ids fold into one lane with summed score
-    order = jnp.argsort(ids)
-    sid = ids[order]
-    ssc = scores[order]
-    head = jnp.concatenate(
-        [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
-    seg = jnp.cumsum(head) - 1
-    seg_tot = jax.ops.segment_sum(ssc, seg, num_segments=b)
-    uscore = seg_tot[seg]                       # at head lanes: group total
-    active0 = head & (sid != INVALID_ID)
-
-    h = _bucket_of(cfg, sid)
+    h = _bucket_of(cfg, ids)
     lanes = jnp.arange(b)
 
     val, cnt, dic = state.val, state.cnt, state.dic
     free, free_top = state.free, state.free_top
-    promo_slot = jnp.zeros(b, jnp.int32)
-    pending = active0
+    fresh = jnp.zeros((sp, c), bool)   # cells written by THIS call
+    pending = valid
 
     for _ in range(cfg.insert_rounds):
         bv = val[h]            # [B, C]
         bc = cnt[h]
-        bd = dic[h]
         occ = bc > 0.0
-        m = occ & (bv == sid[:, None])
+        m = occ & (bv == ids[:, None])
         is_matched = m.any(axis=1) & pending
         cell_m = jnp.argmax(m, axis=1)
 
-        # matched: conflict-free accumulate
-        add = jnp.where(is_matched, uscore, 0.0)
-        new_cnt = bc[lanes, cell_m] + add
-        cnt = cnt.at[h, cell_m].add(add)
+        # matched: scatter-add accumulates, duplicates combine for free
+        cnt = cnt.at[jnp.where(is_matched, h, sp), cell_m].add(
+            jnp.where(is_matched, scores, 0.0), mode="drop")
 
-        # promotion: matched, over threshold, cold, and a slot is available
-        pcand = is_matched & (new_cnt >= k) & (bd[lanes, cell_m] == 0)
-        rank = jnp.cumsum(pcand.astype(jnp.int32))       # 1-based at cands
-        slot_idx = free_top - rank
-        can = pcand & (slot_idx >= 0)
-        slot = jnp.where(can, free[jnp.clip(slot_idx, 0, sp - 1)], 0)
-        hp = jnp.where(can, h, sp)
-        dic = dic.at[hp, cell_m].set(slot, mode="drop")
-        free_top = free_top - can.sum(dtype=jnp.int32)
-        promo_slot = jnp.where(can, slot, promo_slot)
-
-        # new-id placement into an empty cell
+        # unmatched: deterministic winner id per bucket via min-claim
         un = pending & ~is_matched
+        claim_id = jnp.full((sp,), INVALID_ID, jnp.int32).at[
+            jnp.where(un, h, sp)].min(ids, mode="drop")
+        winner = un & (claim_id[h] == ids)
+        claim_lane = jnp.full((sp,), b, jnp.int32).at[
+            jnp.where(winner, h, sp)].min(lanes.astype(jnp.int32),
+                                          mode="drop")
+        rep = winner & (claim_lane[h] == lanes)
+
         has_empty = (~occ).any(axis=1)
         cell_e = jnp.argmax(~occ, axis=1)
-        place = un & has_empty
-        hplace = jnp.where(place, h, sp)
-        val = val.at[hplace, cell_e].set(sid, mode="drop")
-        won_place = place & (val[h, cell_e] == sid)
-        cnt = cnt.at[jnp.where(won_place, h, sp), cell_e].set(
-            uscore, mode="drop")
-
-        # bucket full: evict the min-score cell unless it is hot; the
-        # newcomer inherits the victim's count (Space-Saving).
-        evict = un & ~has_empty
         cell_v = jnp.argmin(bc, axis=1)
-        can_evict = evict & (bd[lanes, cell_v] == 0)
-        hev = jnp.where(can_evict, h, sp)
-        val = val.at[hev, cell_v].set(sid, mode="drop")
-        won_evict = can_evict & (val[h, cell_v] == sid)
-        cnt = cnt.at[jnp.where(won_evict, h, sp), cell_v].add(
-            jnp.where(won_evict, uscore, 0.0), mode="drop")
+        bd_v = dic[h, cell_v]
+        use_cell = jnp.where(has_empty, cell_e, cell_v)
+        can_write = has_empty | (bd_v == 0)
 
-        done = is_matched | won_place | won_evict | (evict & ~can_evict)
+        place_rep = rep & can_write
+        hw = jnp.where(place_rep, h, sp)
+        val = val.at[hw, use_cell].set(ids, mode="drop")
+        # empty cell starts from zero; eviction inherits the victim's count
+        cnt = cnt.at[jnp.where(place_rep & has_empty, h, sp),
+                     use_cell].set(0.0, mode="drop")
+        fresh = fresh.at[hw, use_cell].set(True, mode="drop")
+        # all duplicate lanes of the winning id contribute their scores
+        add_w = winner & can_write
+        cnt = cnt.at[jnp.where(add_w, h, sp), use_cell].add(
+            jnp.where(add_w, scores, 0.0), mode="drop")
+
+        done = is_matched | add_w | (rep & ~can_write)
         pending = pending & ~done
+
+    # ---- promotion sweep over touched buckets --------------------------
+    claim2 = jnp.full((sp,), b, jnp.int32).at[
+        jnp.where(valid, h, sp)].min(lanes.astype(jnp.int32), mode="drop")
+    rep2 = valid & (claim2[h] == lanes)
+    tc = cnt[h]                      # [B, C] post-update
+    td = dic[h]
+    tv = val[h]
+    tf = fresh[h]
+    cand = rep2[:, None] & (tc > 0.0) & (tc >= k) & (td == 0) & ~tf
+    cand_f = cand.reshape(-1)
+    rank = jnp.cumsum(cand_f.astype(jnp.int32))
+    slot_idx = free_top - rank
+    can = cand_f & (slot_idx >= 0)
+    slot = jnp.where(can, free[jnp.clip(slot_idx, 0, free.shape[0] - 1)], 0)
+    hb = jnp.repeat(h, c)
+    cell_idx = jnp.tile(jnp.arange(c), b)
+    dic = dic.at[jnp.where(can, hb, sp), cell_idx].set(slot, mode="drop")
+    free_top = free_top - can.sum(dtype=jnp.int32)
 
     new_state = HotSketchState(
         val=val, cnt=cnt, dic=dic, free=free, free_top=free_top,
         tot=state.tot + scores.sum(),
     )
-    res = InsertResult(ids=sid, slots=promo_slot, mask=promo_slot > 0)
+    res = InsertResult(
+        ids=jnp.where(can, tv.reshape(-1), INVALID_ID),
+        slots=slot, mask=can)
     return new_state, res
 
 
