@@ -15,6 +15,13 @@ Differences by design:
     two ctypes crossings + four host<->device copies per field per step.
   * One sketch insert handles ALL fields' ids at once (global offset ids are
     disjoint across fields) instead of 26 sequential C++ calls.
+  * The hot table and the per-field hash tables live in ONE device array
+    (hot rows first, hash rows at `hash_base`). The reference gathers BOTH
+    tables for every sample and blends with torch.where
+    (sk_embedding_bag.py:102-118) — three passes over batch*dim; here the
+    routed row index makes the forward a single gather and the backward a
+    single scatter, which the roofline tool shows running at HBM
+    speed-of-light.
   * Migration row choice: the reference migrates from weight_hash[raw_id %
     hash_size] (sk_embedding_bag.py:179) while its forward used
     offset_id % hash_size (:108-113) — an inconsistency that copies an
@@ -41,7 +48,7 @@ from ..sketch.hotsketch_plus import (
     sketch_insert_plus,
     sketch_query_plus,
 )
-from .base import Part, _offsets, _uniform_init, round_up
+from .base import Part, _offsets, round_up
 
 
 class CafePart(Part):
@@ -63,6 +70,9 @@ class CafePart(Part):
         self.max_count = int(max_count)  # max vocab across ALL fields
         self.hash_off = _offsets(self.hash_sizes)
         self.hash_rows = int(sum(self.hash_sizes))
+        # unified layout: [0, hotn) hot rows, [hash_base, ...) hash rows
+        self.hash_base = round_up(self.hotn)
+        self.total_rows = self.hash_base + round_up(self.hash_rows)
         self.plus = plus
         if plus:
             self.sketch_cfg = CafePlusConfig(
@@ -80,42 +90,48 @@ class CafePart(Part):
             self._sk_insert = sketch_insert
 
     def init(self, rng: np.random.Generator) -> Dict:
+        table = np.zeros((self.total_rows, self.dim), dtype=np.float32)
         high_scale = np.sqrt(1.0 / self.max_count)  # init_embed.py:119
-        high = np.zeros((round_up(self.hotn), self.dim), dtype=np.float32)
-        high[: self.hotn] = rng.uniform(
+        table[: self.hotn] = rng.uniform(
             -high_scale, high_scale,
             size=(self.hotn, self.dim)).astype(np.float32)
-        scales = [np.sqrt(1.0 / n) for n in self.counts]
+        lo = self.hash_base
+        for n, hs in zip(self.counts, self.hash_sizes):
+            scale = np.sqrt(1.0 / n)  # sk_embedding_bag.py:92-94
+            table[lo:lo + hs] = rng.uniform(
+                -scale, scale, size=(hs, self.dim)).astype(np.float32)
+            lo += hs
         state = {
-            "high": jnp.asarray(high),
-            "hash": jnp.asarray(_uniform_init(rng, self.hash_sizes, scales,
-                                              self.dim)),
+            "table": jnp.asarray(table),
             "sketch": self._sk_init(self.sketch_cfg),
         }
-        state = self._maybe_acc(state, "high")
-        return self._maybe_acc(state, "hash")
+        return self._maybe_acc(state, "table")
 
     def _oids(self, ids: jnp.ndarray) -> jnp.ndarray:
         goff = jnp.asarray(self.global_offsets, dtype=jnp.int32)
         return ids + goff[None, :]
 
+    def _rows(self, oids, is_hot, slot):
+        """Unified row index: hot slot or hash_base + per-field hash row."""
+        hsz = jnp.asarray(self.hash_sizes, dtype=jnp.int32)
+        hoff = jnp.asarray(self.hash_off, dtype=jnp.int32)
+        hrow = (oids % hsz[None, :]) + hoff[None, :] + self.hash_base
+        return jnp.where(is_hot, slot, hrow), hrow
+
     def gather(self, state: Dict, ids: jnp.ndarray):
         b, f = ids.shape
         oids = self._oids(ids)
         q = self._sk_query(self.sketch_cfg, state["sketch"],
-                         oids.reshape(-1)).reshape(b, f)
+                           oids.reshape(-1)).reshape(b, f)
         is_hot = q < 0
         slot = jnp.where(is_hot, -q, 0)
-        hsz = jnp.asarray(self.hash_sizes, dtype=jnp.int32)
-        hoff = jnp.asarray(self.hash_off, dtype=jnp.int32)
-        hrow = (oids % hsz[None, :]) + hoff[None, :]
-        raw = jnp.where(is_hot[..., None], state["high"][slot],
-                        state["hash"][hrow])
-        return raw, (oids, slot, hrow, is_hot)
+        row, hrow = self._rows(oids, is_hot, slot)
+        raw = state["table"][row]
+        return raw, (oids, row, hrow, is_hot)
 
     def apply_grads(self, state: Dict, ids: jnp.ndarray, g_raw: jnp.ndarray,
                     aux, lr: float):
-        oids, slot, hrow, is_hot = aux
+        oids, row, hrow, is_hot = aux
         b, f, d = g_raw.shape
 
         # importance scores (sk_embedding_bag.py:155-162): per-field batch
@@ -128,7 +144,7 @@ class CafePart(Part):
                                   + 1e-30)
 
         sk, promo = self._sk_insert(self.sketch_cfg, state["sketch"],
-                                  oids.reshape(-1), scores.reshape(-1))
+                                    oids.reshape(-1), scores.reshape(-1))
 
         # migration BEFORE the optimizer touches the cold rows, matching the
         # reference's insert_grad-then-step ordering (main.py:376-377).
@@ -138,19 +154,16 @@ class CafePart(Part):
         pfield = jnp.clip(
             jnp.searchsorted(goff, promo.ids, side="right") - 1,
             0, len(self.field_idx) - 1)
-        prow = (promo.ids % hsz[pfield]) + hoff[pfield]
-        dst = jnp.where(promo.mask, promo.slots, state["high"].shape[0])
-        high = state["high"].at[dst].set(
-            state["hash"][jnp.clip(prow, 0, self.hash_rows - 1)],
-            mode="drop")
-        state = {**state, "high": high, "sketch": sk}
+        prow = jnp.clip((promo.ids % hsz[pfield]) + hoff[pfield],
+                        0, self.hash_rows - 1) + self.hash_base
+        dst = jnp.where(promo.mask, promo.slots, self.total_rows)
+        table = state["table"].at[dst].set(state["table"][prow],
+                                           mode="drop")
+        state = {**state, "table": table, "sketch": sk}
 
-        # sparse updates to whichever table served each sample
-        g = g_raw.reshape(b * f, d)
-        hi = jnp.where(is_hot, slot, state["high"].shape[0]).reshape(-1)
-        ci = jnp.where(is_hot, state["hash"].shape[0], hrow).reshape(-1)
-        state = self._table_update(state, "high", hi, g, lr)
-        state = self._table_update(state, "hash", ci, g, lr)
+        # one scatter updates whichever row served each sample
+        state = self._table_update(state, "table", row.reshape(-1),
+                                   g_raw.reshape(b * f, d), lr)
 
         stats = {
             "cafe_promotions": promo.mask.sum(),
@@ -163,3 +176,11 @@ class CafePart(Part):
         (CAFE+ behavior, PinSAGE/sketch.cpp:333-402) so nothing to rebuild;
         kept for API parity with init_embed.py:225-227."""
         return state
+
+    # -- views kept for tests/diagnostics ------------------------------
+    def high_view(self, state: Dict) -> jnp.ndarray:
+        return state["table"][: self.hotn]
+
+    def hash_view(self, state: Dict) -> jnp.ndarray:
+        return state["table"][self.hash_base:
+                              self.hash_base + self.hash_rows]

@@ -111,10 +111,10 @@ class TestCafePart:
         p = self._part()
         state = p.init(np.random.default_rng(0))
         ids = jnp.asarray([[5, 7]] * 4, jnp.int32)
-        raw, (oids, slot, hrow, is_hot) = p.gather(state, ids)
+        raw, (oids, row, hrow, is_hot) = p.gather(state, ids)
         assert not bool(np.asarray(is_hot).any())
-        # cold rows come from the hash table at offset-id % hash_size
-        hsh = np.asarray(state["hash"])
+        # cold rows come from the hash region at offset-id % hash_size
+        hsh = np.asarray(p.hash_view(state))
         np.testing.assert_allclose(raw[0, 0], hsh[5 % 10])
         np.testing.assert_allclose(raw[0, 1], hsh[10 + (107 % 20)])
 
@@ -124,7 +124,7 @@ class TestCafePart:
             raw, aux = p.gather(state, ids)
             state, stats = p.apply_grads(state, ids, g, aux, lr=0.0)
         assert int(stats["cafe_promotions"]) >= 0
-        raw, (oids, slot, hrow, is_hot) = p.gather(state, ids)
+        raw, (oids, row, hrow, is_hot) = p.gather(state, ids)
         assert bool(np.asarray(is_hot).all())
         assert float(np.asarray(stats["cafe_hot_frac"])) >= 0.0
 
@@ -133,28 +133,29 @@ class TestCafePart:
         state = p.init(np.random.default_rng(1))
         ids = jnp.asarray([[9, 9]], jnp.int32)[:, :1]  # single field0 id 9
         ids = jnp.asarray([[9, 0]], jnp.int32)
-        hash_before = np.asarray(state["hash"]).copy()
+        hash_before = np.asarray(p.hash_view(state)).copy()
         g = jnp.ones((1, 2, 4), jnp.float32)
         # lr=0 so tables do not move; only promotion + migration happen
         for _ in range(3):
             raw, aux = p.gather(state, ids)
             state, _ = p.apply_grads(state, ids, g, aux, lr=0.0)
-        raw, (oids, slot, hrow, is_hot) = p.gather(state, ids)
+        raw, (oids, row, hrow, is_hot) = p.gather(state, ids)
         assert bool(is_hot[0, 0])
-        s = int(slot[0, 0])
-        np.testing.assert_allclose(np.asarray(state["high"])[s],
+        s = int(row[0, 0])  # hot rows sit at their slot index
+        np.testing.assert_allclose(np.asarray(p.high_view(state))[s],
                                    hash_before[9 % 10])
 
     def test_grad_updates_served_table_only(self):
         p = self._part(threshold=1e9)  # never promotes
         state = p.init(np.random.default_rng(2))
-        high_before = np.asarray(state["high"]).copy()
+        high_before = np.asarray(p.high_view(state)).copy()
         ids = jnp.asarray([[5, 7]], jnp.int32)
         raw, aux = p.gather(state, ids)
         g = jnp.ones((1, 2, 4), jnp.float32)
         state, _ = p.apply_grads(state, ids, g, aux, lr=0.1)
-        np.testing.assert_allclose(np.asarray(state["high"]), high_before)
-        hsh = np.asarray(state["hash"])
+        np.testing.assert_allclose(np.asarray(p.high_view(state)),
+                                   high_before)
+        hsh = np.asarray(p.hash_view(state))
         # served cold rows moved by -lr*g
         assert not np.allclose(hsh[5 % 10], np.asarray(raw[0, 0]))
 

@@ -48,8 +48,8 @@ def test_sharded_step_matches_single_device(setup):
         assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
                                                   rel=2e-4)
     # table contents agree after several steps of scatter updates
-    t1 = np.asarray(state.embed["part0"]["hash"])
-    t2 = np.asarray(jax.device_get(sh_state.embed["part0"]["hash"]))
+    t1 = np.asarray(state.embed["part0"]["table"])
+    t2 = np.asarray(jax.device_get(sh_state.embed["part0"]["table"]))
     np.testing.assert_allclose(t1, t2, atol=2e-5)
     sk1 = state.embed["part0"]["sketch"]
     sk2 = jax.device_get(sh_state.embed["part0"]["sketch"])
@@ -62,7 +62,7 @@ def test_state_shardings_rowshard_tables(setup):
     mesh = make_mesh(8)
     sh = state_shardings(state, mesh, shard_embeddings=True)
     # the big cafe hash table must be row-sharded
-    spec = sh.embed["part0"]["hash"].spec
+    spec = sh.embed["part0"]["table"].spec
     assert tuple(spec) == ("data", None)
     # dense params replicated
     leaf = jax.tree.leaves(sh.params)[0]
