@@ -105,3 +105,13 @@ class TestBoardReader:
         out = str(tmp_path / "fig.png")
         plot_metric_cr(board, out)
         assert osp.exists(out) and os.path.getsize(out) > 1000
+
+
+class TestPallasGather:
+    def test_matches_xla_gather_interpret(self):
+        from cafe_tpu.ops.pallas_gather import pallas_gather
+        rng = np.random.default_rng(0)
+        table = jnp.asarray(rng.normal(0, 1, (500, 16)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, 500, 512).astype(np.int32))
+        out = pallas_gather(table, ids, tile=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]))
