@@ -67,3 +67,46 @@ def test_state_shardings_rowshard_tables(setup):
     # dense params replicated
     leaf = jax.tree.leaves(sh.params)[0]
     assert tuple(leaf.spec) == ()
+
+
+class TestExplicitExchange:
+    """shard_map AG + reduce-scatter lookup vs single-device equivalence."""
+
+    def test_sharded_gather_matches(self):
+        from cafe_tpu.parallel.embedding_parallel import sharded_gather
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(0)
+        table = jnp.asarray(rng.normal(0, 1, (1024, 16)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, 1024, 256).astype(np.int32))
+        out = sharded_gather(mesh, table, ids)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]),
+                                   atol=1e-6)
+
+    def test_sharded_scatter_add_matches(self):
+        from cafe_tpu.parallel.embedding_parallel import sharded_scatter_add
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(1)
+        table = jnp.asarray(rng.normal(0, 1, (512, 8)).astype(np.float32))
+        # duplicates on purpose
+        ids = jnp.asarray(rng.integers(0, 64, 128).astype(np.int32))
+        upd = jnp.asarray(rng.normal(0, 1, (128, 8)).astype(np.float32))
+        out = sharded_scatter_add(mesh, table, ids, upd)
+        ref = table.at[ids].add(upd)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_lookup_update_roundtrip(self):
+        from cafe_tpu.parallel.embedding_parallel import (
+            sharded_embedding_lookup_and_update)
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(2)
+        table = jnp.asarray(rng.normal(0, 1, (256, 8)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, 256, 64).astype(np.int32))
+        rows, new_table = sharded_embedding_lookup_and_update(
+            mesh, table, ids, lambda r: jnp.ones_like(r), lr=0.5)
+        ref_rows = table[ids]
+        np.testing.assert_allclose(np.asarray(rows), np.asarray(ref_rows),
+                                   atol=1e-6)
+        ref_table = table.at[ids].add(-0.5 * jnp.ones((64, 8)))
+        np.testing.assert_allclose(np.asarray(new_table),
+                                   np.asarray(ref_table), atol=1e-5)
