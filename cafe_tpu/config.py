@@ -45,6 +45,12 @@ class Config:
     nepochs: int = 1
     learning_rate: float = 0.01
     optimizer: str = "sgd"  # sgd | adagrad
+    # LR policy (legacy LRPolicyScheduler, dlrm_s_pytorch.py:171-208)
+    lr_num_warmup_steps: int = 0
+    lr_decay_start_step: int = 0
+    lr_num_decay_steps: int = 0
+    # inference-time row-wise embedding quantization (0 = off; 4 or 8)
+    quantize_emb_bits: int = 0
     numpy_rand_seed: int = 123
     # eval cadence
     inference_only: bool = False

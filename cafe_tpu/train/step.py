@@ -58,13 +58,21 @@ def _bce(p, y, w):
 
 
 def build_train_step(model, embed_layer, cfg):
-    lr = cfg.learning_rate
+    base_lr = cfg.learning_rate
     opt_kind = cfg.optimizer
+    use_sched = (getattr(cfg, "lr_num_warmup_steps", 0) > 0
+                 or getattr(cfg, "lr_num_decay_steps", 0) > 0)
 
     @jax.jit
     def train_step(state: TrainState, dense_x, ids, labels, valid
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         b = ids.shape[0]
+        if use_sched:
+            from .lr_schedule import lr_policy
+            lr = lr_policy(base_lr, state.step, cfg.lr_num_warmup_steps,
+                           cfg.lr_decay_start_step, cfg.lr_num_decay_steps)
+        else:
+            lr = base_lr
         w = (jnp.arange(b) < valid).astype(jnp.float32)
         raws, auxs = embed_layer.gather(state.embed, ids)
 
@@ -98,5 +106,40 @@ def build_eval_step(model, embed_layer):
         raws, _ = embed_layer.gather(state.embed, ids)
         feats = embed_layer.transform(state.embed_dense, raws)
         return model.apply(state.params, dense_x, feats)
+
+    return eval_step
+
+
+def build_quantized_eval_step(model, embed_layer, state: TrainState,
+                              bits: int):
+    """Row-wise int4/int8 embedding serving (legacy capability,
+    dlrm_s_pytorch.py:628-659). Tables of HashedTableParts are quantized
+    once; lookups gather codes + (scale, zero) and dequantize on-chip."""
+    from ..embeddings.base import HashedTablePart
+    from ..ops.quantized import dequantize_rows, quantize_rowwise
+    import numpy as np
+
+    qtables = {}
+    for i, p in enumerate(embed_layer.parts):
+        if not isinstance(p, HashedTablePart):
+            raise NotImplementedError(
+                "quantized inference currently serves full/hash tables "
+                f"(got {type(p).__name__})")
+        qtables[f"part{i}"] = quantize_rowwise(
+            state.embed[f"part{i}"]["table"], bits)
+
+    @jax.jit
+    def eval_step(st: TrainState, dense_x, ids):
+        feats = []
+        for i, p in enumerate(embed_layer.parts):
+            cols = ids[:, np.asarray(p.field_idx)]
+            real = jnp.asarray(p.real_ns, dtype=jnp.int32)
+            off = jnp.asarray(p.np_offsets, dtype=jnp.int32)
+            flat = (cols % real[None, :]) + off[None, :]
+            b, f = cols.shape
+            rows = dequantize_rows(qtables[f"part{i}"], flat.reshape(-1))
+            feats.append(rows.reshape(b, f, -1))
+        feats = jnp.concatenate(feats, axis=1)[:, embed_layer._perm]
+        return model.apply(st.params, dense_x, feats)
 
     return eval_step

@@ -171,3 +171,90 @@ class TestModelArch:
         ln_bot, ln_top = model_arch(cfg, 13, 26)
         assert ln_bot == [13, 512, 256, 128]
         assert ln_top == [27 * 26 // 2 + 128, 1024, 1024, 512, 256, 1]
+
+
+class TestLrSchedule:
+    def test_policy_shape(self):
+        import jax.numpy as jnp
+        from cafe_tpu.train.lr_schedule import lr_policy
+        base = 1.0
+        # warmup ramps linearly
+        assert float(lr_policy(base, jnp.asarray(0), 10, 100, 50)) == \
+            pytest.approx(0.0)
+        assert float(lr_policy(base, jnp.asarray(5), 10, 100, 50)) == \
+            pytest.approx(0.5)
+        # plateau at base
+        assert float(lr_policy(base, jnp.asarray(50), 10, 100, 50)) == \
+            pytest.approx(1.0)
+        # quadratic decay
+        assert float(lr_policy(base, jnp.asarray(125), 10, 100, 50)) == \
+            pytest.approx(0.25)
+        # frozen after decay end
+        after = float(lr_policy(base, jnp.asarray(200), 10, 100, 50))
+        assert after == pytest.approx((1 / 50) ** 2, rel=1e-3)
+
+    def test_scheduled_training_runs(self, skewed_data):
+        train, test = _split(skewed_data)
+        cfg = Config(dataset="synthetic", compress_method=None,
+                     embedding_dim=8, learning_rate=0.1,
+                     lr_num_warmup_steps=5, lr_decay_start_step=20,
+                     lr_num_decay_steps=20)
+        model, embed, state, train_step, _ = build_all(cfg, train)
+        from cafe_tpu.data import batch_iterator
+        import jax.numpy as jnp
+        for i, (dense, sparse, label, valid) in enumerate(
+                batch_iterator(train, 128, drop_last=True)):
+            state, m = train_step(state, jnp.asarray(dense),
+                                  jnp.asarray(sparse),
+                                  jnp.asarray(label), valid)
+            if i == 30:
+                break
+        assert np.isfinite(float(m["loss"]))
+
+
+class TestQuantizedInference:
+    def test_roundtrip_error_bounds(self):
+        import jax.numpy as jnp
+        from cafe_tpu.ops.quantized import (dequantize_rows,
+                                            quantize_rowwise)
+        rng = np.random.default_rng(0)
+        table = jnp.asarray(rng.normal(0, 0.1, (64, 16)).astype(np.float32))
+        for bits, tol in [(8, 0.002), (4, 0.05)]:
+            qt = quantize_rowwise(table, bits)
+            idx = jnp.arange(64)
+            err = np.abs(np.asarray(dequantize_rows(qt, idx) - table))
+            assert err.max() < tol
+
+    def test_int4_packing(self):
+        import jax.numpy as jnp
+        from cafe_tpu.ops.quantized import (dequantize_rows,
+                                            quantize_rowwise)
+        table = jnp.asarray(np.arange(32, dtype=np.float32).reshape(2, 16))
+        qt = quantize_rowwise(table, 4)
+        assert qt.codes.shape == (2, 8)
+        out = dequantize_rows(qt, jnp.asarray([0, 1]))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(table),
+                                   atol=0.6)
+
+
+class TestQuantizedEvalStep:
+    def test_quantized_predictions_close(self, skewed_data):
+        from cafe_tpu.train.step import build_quantized_eval_step
+        train, test = _split(skewed_data)
+        cfg = Config(dataset="synthetic", compress_method="hash",
+                     compress_rate=0.1, embedding_dim=8, learning_rate=0.1)
+        model, embed, state, train_step, eval_step = build_all(cfg, train)
+        for i, (dense, sparse, label, valid) in enumerate(
+                batch_iterator(train, 256, drop_last=True)):
+            state, _ = train_step(state, jnp.asarray(dense),
+                                  jnp.asarray(sparse),
+                                  jnp.asarray(label), valid)
+            if i == 10:
+                break
+        q8 = build_quantized_eval_step(model, embed, state, 8)
+        dense, sparse, label, valid = next(iter(batch_iterator(test, 512)))
+        p_full = np.asarray(eval_step(state, jnp.asarray(dense),
+                                      jnp.asarray(sparse)))
+        p_q8 = np.asarray(q8(state, jnp.asarray(dense),
+                             jnp.asarray(sparse)))
+        assert np.abs(p_full - p_q8).mean() < 0.01
