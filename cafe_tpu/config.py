@@ -72,6 +72,9 @@ class Config:
     mesh_shape: Optional[int] = None   # number of devices for the data axis; None = all
     shard_embeddings: bool = False     # row-shard tables + sketch over the mesh
     bf16: bool = False                 # bfloat16 matmuls in the dense towers
+    # profiling (reference --enable-profiling, dlrm_s_pytorch.py:1576-1777)
+    enable_profiling: bool = False
+    profile_steps: int = 20
     # misc
     num_workers: int = 0               # unused; kept for reference-flag compat
     test_num_workers: int = 0

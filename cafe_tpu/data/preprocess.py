@@ -106,6 +106,31 @@ def process_criteo(in_path: str, out_dir: str) -> None:
     enc.encode([in_path], out_dir)
 
 
+def process_criteotb(day_paths: List[str], out_dir: str) -> None:
+    """CriteoTB: 24 day files -> per-day binaries sparse_{d}_sep.bin /
+    dense_{d}.bin / label_{d}.bin + global processed_count.bin (reference:
+    per-day streaming + global re-encode, process_data.py:106-162)."""
+    enc = StreamingEncoder(num_dense=13, num_sparse=26, sep="\t")
+    for p in day_paths:
+        enc.collect(p)
+    os.makedirs(out_dir, exist_ok=True)
+    counts = np.array([len(v) for v in enc.vocabs], dtype=np.int32)
+    counts.tofile(osp.join(out_dir, "processed_count.bin"))
+    for day, p in enumerate(day_paths):
+        sub = StreamingEncoder(num_dense=13, num_sparse=26, sep="\t")
+        sub.vocabs = enc.vocabs  # shared global vocabulary
+        tmp = osp.join(out_dir, f"_day{day}")
+        sub.encode([p], tmp)
+        os.replace(osp.join(tmp, "processed_sparse_sep.bin"),
+                   osp.join(out_dir, f"sparse_{day}_sep.bin"))
+        os.replace(osp.join(tmp, "processed_dense.bin"),
+                   osp.join(out_dir, f"dense_{day}.bin"))
+        os.replace(osp.join(tmp, "processed_label.bin"),
+                   osp.join(out_dir, f"label_{day}.bin"))
+        os.remove(osp.join(tmp, "processed_count.bin"))
+        os.rmdir(tmp)
+
+
 def process_avazu(in_path: str, out_dir: str) -> None:
     # avazu csv: id,click,hour,C1,...  -> drop id, label=click, 22 sparse
     enc = StreamingEncoder(num_dense=0, num_sparse=22, label_col=1,

@@ -1,0 +1,67 @@
+"""Serving export: serialize the jitted eval step with jax.export.
+
+The reference exports ONNX for serving (dlrm_s_pytorch.py:1797-1875); the
+TPU-native equivalent is a serialized StableHLO artifact of the eval step
+(weights embedded as constants), loadable by any jax.export-compatible
+runtime without the Python model code.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def export_eval_step(model, embed_layer, state, batch_size: int,
+                     num_dense: int, num_sparse: int, out_path: str) -> int:
+    """Serialize eval(dense, ids) -> prob with the trained state baked in.
+    Returns the serialized size in bytes."""
+    from jax import export as jexport
+
+    def serve(dense_x, ids):
+        raws, _ = embed_layer.gather(state.embed, ids)
+        feats = embed_layer.transform(state.embed_dense, raws)
+        return model.apply(state.params, dense_x, feats)
+
+    dense_spec = jax.ShapeDtypeStruct((batch_size, num_dense), jnp.float32)
+    ids_spec = jax.ShapeDtypeStruct((batch_size, num_sparse), jnp.int32)
+    exported = jexport.export(jax.jit(serve))(dense_spec, ids_spec)
+    blob = exported.serialize()
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load_and_run(path: str, dense, ids):
+    from jax import export as jexport
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return exported.call(dense, ids)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Export a trained model.")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--config_json", required=True,
+                   help="config.json written next to the run")
+    args = p.parse_args(argv)
+    from ..config import from_json
+    from ..train.checkpoint import load_checkpoint
+    from ..train.loop import build_all, get_dataset
+    cfg = from_json(args.config_json)
+    train_data = get_dataset(cfg, "train")
+    model, embed, state, _, _ = build_all(cfg, train_data)
+    state, _ = load_checkpoint(args.checkpoint, state)
+    n = export_eval_step(model, embed, state, args.batch_size,
+                         train_data.num_dense, train_data.num_sparse,
+                         args.out)
+    print(f"exported {n} bytes to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

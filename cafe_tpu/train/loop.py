@@ -171,14 +171,25 @@ def run(cfg: Config) -> Dict:
     total_loss, total_samp, total_iter = 0.0, 0.0, 0
     t_window = time.time()
     train_ms = 0.0
+    from ..data.loader import device_prefetch
     for ep in range(skip_epoch, cfg.nepochs):
         start_b = skip_batch if ep == skip_epoch else 0
+        batches = device_prefetch(
+            batch_iterator(train_data, cfg.mini_batch_size,
+                           start_batch=start_b))
         for it, (dense, sparse, label, valid) in enumerate(
-                batch_iterator(train_data, cfg.mini_batch_size,
-                               start_batch=start_b), start=start_b):
+                batches, start=start_b):
+            if cfg.enable_profiling and it == start_b + 10:
+                jax.profiler.start_trace(
+                    osp.join(cfg.tensor_board_filename, "profile"))
             dx = None if dense is None else jnp.asarray(dense)
             state, m = train_step(state, dx, jnp.asarray(sparse),
                                   jnp.asarray(label), valid)
+            if cfg.enable_profiling and it == start_b + 10 + cfg.profile_steps:
+                jax.block_until_ready(m["loss"])
+                jax.profiler.stop_trace()
+                print(f"profile written to "
+                      f"{cfg.tensor_board_filename}/profile", flush=True)
             total_loss += float(m["loss"]) * valid
             total_samp += valid
             total_iter += 1

@@ -239,3 +239,41 @@ class TestAutoencoder:
         raw, aux = p.gather(state, ids)
         state2, _ = p.apply_grads(state, ids, jnp.ones_like(raw), aux, 0.1)
         assert state2 is state  # no-op: embeddings frozen
+
+
+class TestCafeVariants:
+    def test_separate_field_builds_per_field_sketches(self):
+        cfg = Config(compress_method="cafe", compress_rate=0.1,
+                     embedding_dim=16, cafe_sketch_threshold=5,
+                     cafe_hot_separate_field=True)
+        counts = [8000, 100, 6000]
+        layer = build_embedding_layer(cfg, counts, 16)
+        cafe_parts = [p for p in layer.parts if isinstance(p, CafePart)]
+        assert len(cafe_parts) == 2  # one per big field
+        assert all(len(p.field_idx) == 1 for p in cafe_parts)
+        state, dense = layer.init(0)
+        ids = jnp.asarray([[5, 6, 7]], jnp.int32)
+        raws, auxs = layer.gather(state, ids)
+        feats = layer.transform(dense, raws)
+        assert feats.shape == (1, 3, 16)
+        g_raws = {k: jnp.ones_like(v) for k, v in raws.items()}
+        state2, stats = layer.apply_grads(state, ids, g_raws, auxs, 0.1)
+        assert "cafe_promotions" in stats
+
+    def test_cafe_plus_via_config(self):
+        cfg = Config(compress_method="cafe", compress_rate=0.1,
+                     embedding_dim=16, cafe_sketch_threshold=3,
+                     cafe_plus=True, cafe_alpha=1.0)
+        counts = [9000, 7000]
+        layer = build_embedding_layer(cfg, counts, 16)
+        part = layer.parts[0]
+        assert part.plus
+        state, dense = layer.init(0)
+        ids = jnp.asarray([[5, 6]] * 4, jnp.int32)
+        for _ in range(4):
+            raws, auxs = layer.gather(state, ids)
+            g = {k: jnp.ones_like(v) for k, v in raws.items()}
+            state, stats = layer.apply_grads(state, ids, g, auxs, 0.0)
+        raws, auxs = layer.gather(state, ids)
+        _, _, _, is_hot = auxs["part0"]
+        assert bool(np.asarray(is_hot).all())

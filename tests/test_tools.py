@@ -115,3 +115,28 @@ class TestPallasGather:
         ids = jnp.asarray(rng.integers(0, 500, 512).astype(np.int32))
         out = pallas_gather(table, ids, tile=256, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]))
+
+
+class TestExport:
+    def test_export_roundtrip(self, tmp_path):
+        from cafe_tpu.config import Config
+        from cafe_tpu.data import make_synthetic_arrays
+        from cafe_tpu.train.loop import build_all
+        from cafe_tpu.tools.export_model import (export_eval_step,
+                                                 load_and_run)
+        data = make_synthetic_arrays(rows=2000, fields=4, vocab=500,
+                                     dense=4)
+        cfg = Config(dataset="synthetic", compress_method="cafe",
+                     compress_rate=0.1, embedding_dim=8,
+                     cafe_sketch_threshold=5)
+        model, embed, state, _, eval_step = build_all(cfg, data)
+        out = str(tmp_path / "model.stablehlo")
+        n = export_eval_step(model, embed, state, 16, 4, 4, out)
+        assert n > 1000
+        rng = np.random.default_rng(0)
+        dense = jnp.asarray(rng.normal(0, 1, (16, 4)).astype(np.float32))
+        ids = jnp.asarray(rng.integers(0, 500, (16, 4)).astype(np.int32))
+        served = load_and_run(out, dense, ids)
+        direct = eval_step(state, dense, ids)
+        np.testing.assert_allclose(np.asarray(served), np.asarray(direct),
+                                   atol=1e-5)
