@@ -24,11 +24,18 @@ class Config:
     # model shape
     embedding_dim: int = 16
     max_ind_range: int = -1
+    # legacy DLRM model options (dlrm_s_pytorch.py:369-374, 779-848)
+    arch_interaction_op: str = "dot"        # dot | cat
+    arch_interaction_itself: bool = False
+    loss_threshold: float = 0.0             # clamp p to [t, 1-t] when 0<t<1
+    weighted_pooling: str = ""              # "" | fixed | learned (v_W_l)
     # embedding compression
     compress_method: Optional[str] = None  # None|hash|mde|qr|ada|cafe|off|full|ae
     compress_rate: float = 0.001
     # mde
     md_round_dims: bool = False
+    # qr (legacy tricks/qr_embedding_bag.py composition op)
+    qr_operation: str = "add"               # add | mult | concat
     # cafe knobs (same semantics as reference --cafe_*)
     cafe_sketch_threshold: float = 500.0
     cafe_hash_rate: float = 0.5
@@ -68,6 +75,10 @@ class Config:
     synthetic_vocab: int = 100000
     synthetic_dense: int = 13
     synthetic_zipf: float = 1.05
+    # id distribution: zipf | uniform | gaussian | trace (stack-distance LRU
+    # model, the reference's generate_synthetic_input_batch design)
+    synthetic_dist: str = "zipf"
+    synthetic_trace_file: str = ""     # id trace (.npy/.bin int32) for "trace"
     # TPU-specific
     mesh_shape: Optional[int] = None   # number of devices for the data axis; None = all
     shard_embeddings: bool = False     # row-shard tables + sketch over the mesh

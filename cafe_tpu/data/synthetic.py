@@ -1,14 +1,21 @@
-"""Synthetic Zipfian CTR streams — the test backbone.
+"""Synthetic CTR streams — the test backbone.
 
 The reference keeps an (unreachable) synthetic path, RandomDataset +
-distribution generators (dlrm_data_pytorch.py:759-1157); here synthetic data
+distribution generators (dlrm_data_pytorch.py:759-1404); here synthetic data
 is a first-class citizen: every unit/integration test and the benchmark can
 fabricate a Criteo-shaped stream with a controllable skew, and the generator
 can also *write* the binary dataset format so the whole preprocessing →
 training path is exercised without the real 60 GB datasets.
 
-CTR id streams are heavily skewed (the whole premise of CAFE); a Zipf(s)
-draw over each field's vocabulary is the standard model for that.
+Four id distributions, matching the reference's generator designs:
+  zipf      — inverse-CDF Zipf(s) over each field's vocabulary (the standard
+              skew model; CTR streams are heavily skewed, CAFE's premise)
+  uniform   — round(U(0,1) * (vocab-1))   (generate_dist_input_batch:1133)
+  gaussian  — clip(N(mu, sigma), 0, vocab-1)  (generate_dist_input_batch:1127)
+  trace     — stack-distance LRU model (trace_profile:1313 /
+              trace_generate_lru:1254): profile a real id trace into a
+              reuse-distance distribution, then synthesize an arbitrarily
+              long stream with the same temporal-locality profile.
 """
 
 from __future__ import annotations
@@ -38,21 +45,153 @@ def _zipf_ids(rng: np.random.Generator, n: int, vocab: int,
     return perm[np.minimum(idx, vocab - 1)].astype(np.int32)
 
 
+def _uniform_ids(rng: np.random.Generator, n: int, vocab: int) -> np.ndarray:
+    return np.round(rng.random(n) * (vocab - 1)).astype(np.int32)
+
+
+def _gaussian_ids(rng: np.random.Generator, n: int, vocab: int,
+                  mu: float = -1.0, sigma: float = -1.0) -> np.ndarray:
+    if mu < 0:
+        mu = (vocab - 1) / 2.0
+    if sigma < 0:
+        sigma = vocab / 4.0
+    r = np.round(rng.normal(mu, sigma, n))
+    return np.clip(r, 0, vocab - 1).astype(np.int32)
+
+
+# --- stack-distance trace model (dlrm_data_pytorch.py:1232-1404) -----------
+
+def trace_profile(trace: np.ndarray):
+    """Profile an id trace into (line_accesses, list_sd, cumm_sd).
+
+    The stack distance of an access is the number of *distinct* ids touched
+    since that id's previous access (inclusive); 0 marks a first-time
+    reference. Computed in O(n log n) with a Fenwick tree over last-access
+    positions instead of the reference's O(n²) list scan
+    (trace_profile:1312-1345); same definition (consecutive repeats have
+    distance 1).
+
+    Returns: unique ids in first-seen order, the sorted unique distances,
+    and their cumulative probability (the sampling tables
+    read_dist_from_file builds).
+    """
+    trace = np.asarray(trace).ravel()
+    n = len(trace)
+    bit = np.zeros(n + 1, dtype=np.int64)
+
+    def bit_add(i, v):
+        i += 1
+        while i <= n:
+            bit[i] += v
+            i += i & (-i)
+
+    def bit_sum(i):  # prefix sum of [0, i]
+        i += 1
+        s = 0
+        while i > 0:
+            s += bit[i]
+            i -= i & (-i)
+        return s
+
+    last = {}
+    sds = np.empty(n, dtype=np.int64)
+    first_seen = []
+    for t, x in enumerate(trace):
+        x = int(x)
+        p = last.get(x)
+        if p is None:
+            sds[t] = 0
+            first_seen.append(x)
+        else:
+            sds[t] = (bit_sum(t - 1) - bit_sum(p)) + 1
+            bit_add(p, -1)
+        bit_add(t, 1)
+        last[x] = t
+    list_sd, counts = np.unique(sds, return_counts=True)
+    cumm_sd = np.cumsum(counts / counts.sum())
+    return np.asarray(first_seen, dtype=np.int64), list_sd, cumm_sd
+
+
+def generate_stack_distance(list_sd, cumm_sd, max_sd, i, u):
+    """Sample one stack distance by inverse CDF; while fewer than max_sd
+    distinct refs have been emitted the support is shrunk so only feasible
+    distances (≤ i) are drawn (generate_stack_distance:1232-1247)."""
+    if i < max_sd:
+        j = np.searchsorted(list_sd, i, side="right") - 1
+        u = u * cumm_sd[j]
+    return list_sd[np.searchsorted(cumm_sd, u, side="left")]
+
+
+def trace_generate_lru(line_accesses, list_sd, cumm_sd, out_len: int,
+                       rng: np.random.Generator) -> np.ndarray:
+    """Synthesize a trace with the profiled reuse-distance distribution via
+    an explicit LRU stack (trace_generate_lru:1254-1283): distance 0 pulls
+    the coldest unseen line; distance d re-references the d-th most
+    recently used line and moves it to the top."""
+    stack = list(np.asarray(line_accesses).tolist())
+    l = len(stack)
+    max_sd = int(list_sd[-1])
+    out = np.empty(out_len, dtype=np.int64)
+    us = rng.random(out_len)
+    i = 0
+    for t in range(out_len):
+        sd = int(generate_stack_distance(list_sd, cumm_sd, max_sd, i, us[t]))
+        sd = min(sd, l)
+        if sd == 0:
+            ref = stack.pop(0)
+            stack.append(ref)
+            i += 1
+        else:
+            ref = stack.pop(l - sd)
+            stack.append(ref)
+        out[t] = ref
+    return out
+
+
+def make_trace_ids(rng: np.random.Generator, n: int, vocab: int,
+                   trace: np.ndarray) -> np.ndarray:
+    """Ids for one field: profile `trace`, then generate n accesses with the
+    same temporal-locality profile (mod-guard against out-of-range lines,
+    generate_synthetic_input_batch:1216-1218)."""
+    lines, list_sd, cumm_sd = trace_profile(trace)
+    out = trace_generate_lru(lines, list_sd, cumm_sd, n, rng)
+    if out.min() < 0 or out.max() >= vocab:
+        out = out % vocab
+    return out.astype(np.int32)
+
+
 def make_synthetic_arrays(rows: int = 65536, fields: int = 8,
                           vocab: int = 100000, dense: int = 13,
                           zipf: float = 1.05, seed: int = 0,
-                          label_from_ids: bool = True) -> CTRArrays:
+                          label_from_ids: bool = True,
+                          dist: str = "zipf",
+                          trace: np.ndarray = None) -> CTRArrays:
     """Build an in-memory CTR dataset.
 
     If `label_from_ids`, labels correlate with a fixed random per-id logit so
     a model can actually learn (AUC > 0.5) — needed for end-to-end learning
     tests; otherwise labels are fair coin flips.
+
+    `dist` picks the id distribution (zipf | uniform | gaussian | trace);
+    "trace" profiles the given id trace (or, if None, a self-generated Zipf
+    stream) and synthesizes ids with the same reuse-distance profile.
     """
     rng = np.random.default_rng(seed)
     counts = np.full(fields, vocab, dtype=np.int32)
-    sparse = np.stack(
-        [_zipf_ids(rng, rows, vocab, zipf) for _ in range(fields)], axis=1
-    )
+    if dist == "zipf":
+        cols = [_zipf_ids(rng, rows, vocab, zipf) for _ in range(fields)]
+    elif dist == "uniform":
+        cols = [_uniform_ids(rng, rows, vocab) for _ in range(fields)]
+    elif dist == "gaussian":
+        cols = [_gaussian_ids(rng, rows, vocab) for _ in range(fields)]
+    elif dist == "trace":
+        if trace is None:
+            trace = _zipf_ids(rng, min(rows, 16384), vocab, zipf)
+        cols = [make_trace_ids(rng, rows, vocab, trace)
+                for _ in range(fields)]
+    else:
+        raise ValueError(f"unknown synthetic dist {dist!r}")
+    sparse = np.stack(cols, axis=1)
     dense_arr = None
     if dense > 0:
         dense_arr = np.log1p(rng.gamma(2.0, 2.0, size=(rows, dense))

@@ -39,10 +39,13 @@ def build_embedding_layer(cfg, counts, dim: int,
     small = [i for i in range(nf) if counts[i] <= th]
     parts = []
 
+    weighted = getattr(cfg, "weighted_pooling", "") or ""
+
     def full_part(fields):
         if fields:
             cs = [counts[i] for i in fields]
-            parts.append(HashedTablePart(fields, cs, cs, dim, opt))
+            parts.append(HashedTablePart(fields, cs, cs, dim, opt,
+                                         weighted=weighted))
 
     if method == "full" or not big:
         full_part(list(range(nf)))
@@ -51,11 +54,13 @@ def build_embedding_layer(cfg, counts, dim: int,
     if method == "hash":
         real = [counts[i] if i in set(small)
                 else int(np.ceil(counts[i] * cr)) for i in range(nf)]
-        parts.append(HashedTablePart(list(range(nf)), counts, real, dim, opt))
+        parts.append(HashedTablePart(list(range(nf)), counts, real, dim, opt,
+                                     weighted=weighted))
     elif method == "qr":
         coll = sizing.qr_collisions(counts, cr)
         full_part(small)
-        parts.append(QRPart(big, [counts[i] for i in big], coll, dim, opt))
+        parts.append(QRPart(big, [counts[i] for i in big], coll, dim, opt,
+                            operation=getattr(cfg, "qr_operation", "add")))
     elif method == "mde":
         dims = sizing.mde_dims(counts, cr, dim, cfg.md_round_dims)
         full_part(small)

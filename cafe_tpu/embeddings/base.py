@@ -97,14 +97,22 @@ class HashedTablePart(Part):
 
     With real_n == n this is the uncompressed table (the mod is identity);
     otherwise it is the reference HashEmbeddingBag (hash_embedding_bag.py:17).
+
+    `weighted` implements the legacy v_W_l weighted pooling
+    (dlrm_s_pytorch.py:343-354, 622-625): a per-row scalar weight, init 1,
+    multiplies the looked-up vector; "learned" trains it with the same
+    sparse optimizer, "fixed" keeps it constant.
     """
 
-    def __init__(self, field_idx, counts, real_ns, dim, optimizer="sgd"):
+    def __init__(self, field_idx, counts, real_ns, dim, optimizer="sgd",
+                 weighted: str = ""):
         self.field_idx = list(field_idx)
         self.counts = [int(c) for c in counts]
         self.real_ns = [int(r) for r in real_ns]
         self.dim = dim
         self.optimizer = optimizer
+        assert weighted in ("", "fixed", "learned"), weighted
+        self.weighted = weighted
         self.np_offsets = _offsets(self.real_ns)
         self.rows = int(sum(self.real_ns))
 
@@ -112,31 +120,60 @@ class HashedTablePart(Part):
         scales = [np.sqrt(1.0 / max(n, 5)) for n in self.counts]
         state = {"table": jnp.asarray(
             _uniform_init(rng, self.real_ns, scales, self.dim))}
+        if self.weighted:
+            state["w"] = jnp.ones((round_up(self.rows), 1), jnp.float32)
+            if self.weighted == "learned":
+                state = self._maybe_acc(state, "w")
         return self._maybe_acc(state, "table")
 
     def gather(self, state, ids):
         real = jnp.asarray(self.real_ns, dtype=jnp.int32)
         off = jnp.asarray(self.np_offsets, dtype=jnp.int32)
         flat = (ids % real[None, :]) + off[None, :]
-        return state["table"][flat], flat
+        rows = state["table"][flat]
+        if self.weighted:
+            rows = rows * state["w"][flat]
+        return rows, flat
 
     def apply_grads(self, state, ids, g_raw, aux, lr):
         b, f, d = g_raw.shape
-        state = self._table_update(state, "table", aux.reshape(b * f),
-                                   g_raw.reshape(b * f, d), lr)
+        flat = aux.reshape(b * f)
+        g = g_raw.reshape(b * f, d)
+        if self.weighted:
+            # raw = table[i] * w[i]: chain rule through both factors
+            rows = state["table"][flat]
+            g_table = g * state["w"][flat]
+            if self.weighted == "learned":
+                g_w = jnp.sum(g * rows, axis=-1, keepdims=True)
+                state = self._table_update(state, "w", flat, g_w, lr)
+            state = self._table_update(state, "table", flat, g_table, lr)
+            return state, {}
+        state = self._table_update(state, "table", flat, g, lr)
         return state, {}
 
 
 class QRPart(Part):
     """Quotient-remainder fields (qr_embedding_bag.py:60-77): the feature
-    vector is q_table[id // coll] + r_table[id % coll]."""
+    vector combines q_table[id // coll] and r_table[id % coll].
 
-    def __init__(self, field_idx, counts, collisions, dim, optimizer="sgd"):
+    `operation` mirrors the legacy composition ops
+    (tricks/qr_embedding_bag.py:57,136): "add" (the only one the reference
+    actually runs — :148 overrides the arg), "mult" (elementwise product),
+    and "concat" (here the two tables hold D/2 halves so the output dim
+    stays D; the legacy signature concatenated two full-D tables to 2D,
+    which would change the tower shapes)."""
+
+    def __init__(self, field_idx, counts, collisions, dim, optimizer="sgd",
+                 operation: str = "add"):
         self.field_idx = list(field_idx)
         self.counts = [int(c) for c in counts]
         self.collisions = int(collisions)
         self.dim = dim
         self.optimizer = optimizer
+        assert operation in ("add", "mult", "concat"), operation
+        self.operation = operation
+        self.q_dim = (dim + 1) // 2 if operation == "concat" else dim
+        self.r_dim = dim - self.q_dim if operation == "concat" else dim
         self.q_rows = [int(np.ceil(n / collisions)) + 1 for n in self.counts]
         self.r_rows = [self.collisions] * len(self.counts)
         self.q_off = _offsets(self.q_rows)
@@ -145,26 +182,46 @@ class QRPart(Part):
     def init(self, rng):
         scales = [np.sqrt(1.0 / n) for n in self.counts]
         state = {
-            "q": jnp.asarray(_uniform_init(rng, self.q_rows, scales, self.dim)),
-            "r": jnp.asarray(_uniform_init(rng, self.r_rows, scales, self.dim)),
+            "q": jnp.asarray(_uniform_init(rng, self.q_rows, scales,
+                                           self.q_dim)),
+            "r": jnp.asarray(_uniform_init(rng, self.r_rows, scales,
+                                           self.r_dim)),
         }
         state = self._maybe_acc(state, "q")
         return self._maybe_acc(state, "r")
 
-    def gather(self, state, ids):
+    def _rows(self, ids):
         qo = jnp.asarray(self.q_off, dtype=jnp.int32)
         ro = jnp.asarray(self.r_off, dtype=jnp.int32)
         qi = (ids // self.collisions) + qo[None, :]
         ri = (ids % self.collisions) + ro[None, :]
-        raw = state["q"][qi] + state["r"][ri]
+        return qi, ri
+
+    def gather(self, state, ids):
+        qi, ri = self._rows(ids)
+        qv, rv = state["q"][qi], state["r"][ri]
+        if self.operation == "add":
+            raw = qv + rv
+        elif self.operation == "mult":
+            raw = qv * rv
+        else:
+            raw = jnp.concatenate([qv, rv], axis=-1)
         return raw, (qi, ri)
 
     def apply_grads(self, state, ids, g_raw, aux, lr):
         qi, ri = aux
         b, f, d = g_raw.shape
         g = g_raw.reshape(b * f, d)
-        state = self._table_update(state, "q", qi.reshape(-1), g, lr)
-        state = self._table_update(state, "r", ri.reshape(-1), g, lr)
+        qi, ri = qi.reshape(-1), ri.reshape(-1)
+        if self.operation == "add":
+            gq, gr = g, g
+        elif self.operation == "mult":
+            gq = g * state["r"][ri]
+            gr = g * state["q"][qi]
+        else:
+            gq, gr = g[:, :self.q_dim], g[:, self.q_dim:]
+        state = self._table_update(state, "q", qi, gq, lr)
+        state = self._table_update(state, "r", ri, gr, lr)
         return state, {}
 
 

@@ -36,7 +36,12 @@ def model_arch(cfg: Config, num_dense: int, num_sparse: int):
         ln_bot = [num_dense, 512, 256, 64, dim]
     num_fea = num_sparse + (1 if num_dense > 0 else 0)
     m_den_out = ln_bot[-1] if num_dense > 0 else 0
-    num_int = (num_fea * (num_fea - 1)) // 2 + m_den_out
+    if cfg.model == "dlrm" and cfg.arch_interaction_op == "cat":
+        num_int = num_sparse * dim + m_den_out
+    elif cfg.model == "dlrm" and cfg.arch_interaction_itself:
+        num_int = (num_fea * (num_fea + 1)) // 2 + m_den_out
+    else:
+        num_int = (num_fea * (num_fea - 1)) // 2 + m_den_out
     if cfg.dataset == "criteotb":
         ln_top = [num_int, 1024, 1024, 512, 256, 1]
     else:
@@ -54,9 +59,14 @@ def build_all(cfg: Config, train_data=None):
     ln_bot, ln_top = model_arch(cfg, train_data.num_dense,
                                 train_data.num_sparse)
     compute_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    kwargs = {}
+    if cfg.model == "dlrm":
+        kwargs = dict(interaction_op=cfg.arch_interaction_op,
+                      interaction_itself=cfg.arch_interaction_itself,
+                      loss_threshold=cfg.loss_threshold)
     model = MODELS[cfg.model](cfg.embedding_dim, train_data.num_sparse,
                               train_data.num_dense, ln_bot, ln_top,
-                              compute_dtype=compute_dtype)
+                              compute_dtype=compute_dtype, **kwargs)
     embed = build_embedding_layer(cfg, counts, cfg.embedding_dim, train_data)
     state = init_state(model, embed, cfg.numpy_rand_seed, cfg.optimizer)
     return model, embed, state, build_train_step(model, embed, cfg), \
@@ -65,10 +75,16 @@ def build_all(cfg: Config, train_data=None):
 
 def get_dataset(cfg: Config, phase: str):
     if cfg.dataset == "synthetic":
+        trace = None
+        if getattr(cfg, "synthetic_trace_file", ""):
+            tf = cfg.synthetic_trace_file
+            trace = (np.load(tf) if tf.endswith(".npy")
+                     else np.fromfile(tf, dtype=np.int32))
         data = make_synthetic_arrays(
             rows=cfg.synthetic_rows, fields=cfg.synthetic_fields,
             vocab=cfg.synthetic_vocab, dense=cfg.synthetic_dense,
-            zipf=cfg.synthetic_zipf, seed=cfg.numpy_rand_seed)
+            zipf=cfg.synthetic_zipf, seed=cfg.numpy_rand_seed,
+            dist=getattr(cfg, "synthetic_dist", "zipf"), trace=trace)
         n = len(data)
         from ..data.datasets import CTRArrays
         cut = n * 6 // 7
