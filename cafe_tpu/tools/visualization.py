@@ -226,7 +226,10 @@ def main(argv=None):
     if args.kind == "metric_cr":
         plot_metric_cr(args.board, args.out, args.metric)
     elif args.kind == "metric_iter":
-        plot_metric_iter(args.runs, args.out, args.metric)
+        # scalars.jsonl logs the sklearn tag name; accept the board-reader
+        # alias "auc" too
+        tag = "roc_auc" if args.metric == "auc" else args.metric
+        plot_metric_iter(args.runs, args.out, tag)
     elif args.kind == "latency":
         plot_latency(args.board, args.out)
     elif args.kind == "hyper":
