@@ -155,6 +155,13 @@ def run(cfg: Config) -> Dict:
               f"iter={skip_batch} acc={best_acc:.4f}", flush=True)
 
     if cfg.inference_only:
+        if cfg.quantize_emb_bits in (4, 8):
+            # row-wise quantized serving (legacy --quantize-emb-with-bit,
+            # dlrm_s_pytorch.py:628-659): quantize the trained tables once,
+            # dequantize per lookup on-chip
+            from .step import build_quantized_eval_step
+            eval_step = build_quantized_eval_step(model, embed, state,
+                                                  cfg.quantize_emb_bits)
         metrics, _ = inference(cfg, eval_step, state, test_data)
         print(" ".join(f"{k}={v:.5f}" for k, v in metrics.items()),
               flush=True)

@@ -113,18 +113,21 @@ def build_eval_step(model, embed_layer):
 def build_quantized_eval_step(model, embed_layer, state: TrainState,
                               bits: int):
     """Row-wise int4/int8 embedding serving (legacy capability,
-    dlrm_s_pytorch.py:628-659). Tables of HashedTableParts are quantized
-    once; lookups gather codes + (scale, zero) and dequantize on-chip."""
+    dlrm_s_pytorch.py:628-659). Tables of HashedTableParts and CafeParts
+    are quantized once; lookups gather codes + (scale, zero) and
+    dequantize on-chip. CAFE's sketch routing stays full-precision (it is
+    int/bookkeeping state); only the embedding rows are compressed."""
     from ..embeddings.base import HashedTablePart
+    from ..embeddings.cafe import CafePart
     from ..ops.quantized import dequantize_rows, quantize_rowwise
     import numpy as np
 
     qtables = {}
     for i, p in enumerate(embed_layer.parts):
-        if not isinstance(p, HashedTablePart):
+        if not isinstance(p, (HashedTablePart, CafePart)):
             raise NotImplementedError(
-                "quantized inference currently serves full/hash tables "
-                f"(got {type(p).__name__})")
+                "quantized inference currently serves full/hash/cafe "
+                f"tables (got {type(p).__name__})")
         qtables[f"part{i}"] = quantize_rowwise(
             state.embed[f"part{i}"]["table"], bits)
 
@@ -133,12 +136,24 @@ def build_quantized_eval_step(model, embed_layer, state: TrainState,
         feats = []
         for i, p in enumerate(embed_layer.parts):
             cols = ids[:, np.asarray(p.field_idx)]
-            real = jnp.asarray(p.real_ns, dtype=jnp.int32)
-            off = jnp.asarray(p.np_offsets, dtype=jnp.int32)
-            flat = (cols % real[None, :]) + off[None, :]
             b, f = cols.shape
+            if isinstance(p, CafePart):
+                # same routing as CafePart.gather, dequantized row fetch
+                oids = p._oids(cols)
+                q = p._sk_query(p.sketch_cfg,
+                                st.embed[f"part{i}"]["sketch"],
+                                oids.reshape(-1)).reshape(b, f)
+                is_hot = q < 0
+                flat, _ = p._rows(oids, is_hot, jnp.where(is_hot, -q, 0))
+            else:
+                real = jnp.asarray(p.real_ns, dtype=jnp.int32)
+                off = jnp.asarray(p.np_offsets, dtype=jnp.int32)
+                flat = (cols % real[None, :]) + off[None, :]
             rows = dequantize_rows(qtables[f"part{i}"], flat.reshape(-1))
-            feats.append(rows.reshape(b, f, -1))
+            rows = rows.reshape(b, f, -1)
+            if getattr(p, "weighted", ""):
+                rows = rows * st.embed[f"part{i}"]["w"][flat]
+            feats.append(rows)
         feats = jnp.concatenate(feats, axis=1)[:, embed_layer._perm]
         return model.apply(st.params, dense_x, feats)
 

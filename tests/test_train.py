@@ -258,3 +258,28 @@ class TestQuantizedEvalStep:
         p_q8 = np.asarray(q8(state, jnp.asarray(dense),
                              jnp.asarray(sparse)))
         assert np.abs(p_full - p_q8).mean() < 0.01
+
+    def test_quantized_cafe_serving(self, skewed_data):
+        """int8 serving of the unified CAFE table: sketch routing stays
+        full-precision, rows dequantize on-chip; predictions track the
+        float eval path."""
+        from cafe_tpu.train.step import build_quantized_eval_step
+        train, test = _split(skewed_data)
+        cfg = Config(dataset="synthetic", compress_method="cafe",
+                     compress_rate=0.01, cafe_sketch_threshold=5.0,
+                     cafe_hash_rate=0.3, embedding_dim=8, learning_rate=0.1)
+        model, embed, state, train_step, eval_step = build_all(cfg, train)
+        for i, (dense, sparse, label, valid) in enumerate(
+                batch_iterator(train, 256, drop_last=True)):
+            state, _ = train_step(state, jnp.asarray(dense),
+                                  jnp.asarray(sparse),
+                                  jnp.asarray(label), valid)
+            if i == 10:
+                break
+        q8 = build_quantized_eval_step(model, embed, state, 8)
+        dense, sparse, label, valid = next(iter(batch_iterator(test, 512)))
+        p_full = np.asarray(eval_step(state, jnp.asarray(dense),
+                                      jnp.asarray(sparse)))
+        p_q8 = np.asarray(q8(state, jnp.asarray(dense),
+                             jnp.asarray(sparse)))
+        assert np.abs(p_full - p_q8).mean() < 0.01
