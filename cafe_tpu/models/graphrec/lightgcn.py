@@ -62,6 +62,9 @@ class LightGCNConfig:
     sketch_threshold: float = 500.0
     sketch_decay: float = 0.99
     seed: int = 0
+    # the reference trains with Adam (Procedure.py/world.py); adagrad is the
+    # scale-robust sparse-friendly analogue here, sgd matches the CTR parts
+    optimizer: str = "sgd"       # sgd | adagrad
 
 
 class LightGCN:
@@ -76,16 +79,26 @@ class LightGCN:
             hash_size = max(size - hotn, 1)
             self.part = CafePart(
                 [0], [self.n_nodes], [0], hotn, [hash_size], d,
-                cfg.sketch_threshold, cfg.sketch_decay, self.n_nodes)
+                cfg.sketch_threshold, cfg.sketch_decay, self.n_nodes,
+                optimizer=cfg.optimizer)
         else:
             self.part = HashedTablePart([0], [self.n_nodes],
-                                        [self.n_nodes], d)
+                                        [self.n_nodes], d,
+                                        optimizer=cfg.optimizer)
         self._src = jnp.asarray(graph.src)
         self._dst = jnp.asarray(graph.dst)
         self._w = jnp.asarray(graph.w)
 
     def init(self) -> dict:
-        return self.part.init(np.random.default_rng(self.cfg.seed))
+        rng = np.random.default_rng(self.cfg.seed)
+        state = self.part.init(rng)
+        # reference init: normal(std=0.1) on the node embedding
+        # (model.py:111-117 nn.init.normal_(std=0.1)); the CTR-table
+        # sqrt(1/n) scale is far too small at graph-scale vocabularies for
+        # BPR to escape its flat cold-start region.
+        state = {**state, "table": jnp.asarray(
+            rng.normal(0.0, 0.1, state["table"].shape).astype(np.float32))}
+        return state
 
     # -- propagation (model.py:129-161) --------------------------------
     def propagate(self, emb0: jnp.ndarray) -> jnp.ndarray:
