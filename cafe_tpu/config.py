@@ -79,6 +79,7 @@ class Config:
     # model, the reference's generate_synthetic_input_batch design)
     synthetic_dist: str = "zipf"
     synthetic_trace_file: str = ""     # id trace (.npy/.bin int32) for "trace"
+    synthetic_shift: float = 0.0       # hot-set shift point in (0,1); 0 = off
     # TPU-specific
     mesh_shape: Optional[int] = None   # number of devices for the data axis; None = all
     shard_embeddings: bool = False     # row-shard tables + sketch over the mesh

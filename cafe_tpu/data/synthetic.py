@@ -29,11 +29,12 @@ from .datasets import CTRArrays
 
 
 def _zipf_ids(rng: np.random.Generator, n: int, vocab: int,
-              s: float) -> np.ndarray:
+              s: float, perm_seed: int = 0) -> np.ndarray:
     """Zipf-distributed ids in [0, vocab) via inverse-CDF on ranks.
 
-    Ranks are then permuted (seeded by vocab) so hot ids are scattered over
-    the id space like real label-encoded data rather than clustered at 0.
+    Ranks are then permuted (seeded by vocab and perm_seed) so hot ids are
+    scattered over the id space like real label-encoded data rather than
+    clustered at 0.
     """
     ranks = np.arange(1, vocab + 1, dtype=np.float64)
     probs = ranks ** (-s)
@@ -41,7 +42,8 @@ def _zipf_ids(rng: np.random.Generator, n: int, vocab: int,
     cdf = np.cumsum(probs)
     u = rng.random(n)
     idx = np.searchsorted(cdf, u).astype(np.int64)
-    perm = np.random.RandomState(vocab % (2**31 - 1)).permutation(vocab)
+    perm = np.random.RandomState(
+        (vocab + 7919 * perm_seed) % (2**31 - 1)).permutation(vocab)
     return perm[np.minimum(idx, vocab - 1)].astype(np.int32)
 
 
@@ -165,7 +167,8 @@ def make_synthetic_arrays(rows: int = 65536, fields: int = 8,
                           zipf: float = 1.05, seed: int = 0,
                           label_from_ids: bool = True,
                           dist: str = "zipf",
-                          trace: np.ndarray = None) -> CTRArrays:
+                          trace: np.ndarray = None,
+                          shift_at: float = 0.0) -> CTRArrays:
     """Build an in-memory CTR dataset.
 
     If `label_from_ids`, labels correlate with a fixed random per-id logit so
@@ -175,10 +178,21 @@ def make_synthetic_arrays(rows: int = 65536, fields: int = 8,
     `dist` picks the id distribution (zipf | uniform | gaussian | trace);
     "trace" profiles the given id trace (or, if None, a self-generated Zipf
     stream) and synthesizes ids with the same reuse-distance profile.
+
+    `shift_at` in (0, 1) injects a DISTRIBUTION SHIFT at that fraction of
+    the stream: the Zipf rank->id mapping is re-drawn, so the hot set
+    changes completely mid-stream (the adaptivity scenario CAFE's online
+    promotion/demotion — and CAFE+'s adaptive threshold — exist for).
     """
     rng = np.random.default_rng(seed)
     counts = np.full(fields, vocab, dtype=np.int32)
-    if dist == "zipf":
+    if dist == "zipf" and 0.0 < shift_at < 1.0:
+        cut = int(rows * shift_at)
+        cols = [np.concatenate([
+            _zipf_ids(rng, cut, vocab, zipf, perm_seed=0),
+            _zipf_ids(rng, rows - cut, vocab, zipf, perm_seed=1)])
+            for _ in range(fields)]
+    elif dist == "zipf":
         cols = [_zipf_ids(rng, rows, vocab, zipf) for _ in range(fields)]
     elif dist == "uniform":
         cols = [_uniform_ids(rng, rows, vocab) for _ in range(fields)]

@@ -25,6 +25,8 @@ from typing import Dict, List
 
 FLATTEN = ["compress_rate", "cafe_sketch_threshold", "cafe_hash_rate",
            "cafe_decay"]
+# canonical section ordering (reference method names); any other non-"base"
+# section (e.g. "cafe_plus", sensitivity variants) runs after these
 METHODS = ["full", "hash", "qr", "ada", "mde", "cafe", "off"]
 
 
@@ -34,7 +36,8 @@ def load_tasks(config_file: str,
         config = json.load(f)
     base_args = config["base"]
     tasks = []
-    for met in METHODS:
+    extra = [k for k in config if k != "base" and k not in METHODS]
+    for met in METHODS + extra:
         if met not in config:
             continue
         new_task = dict(base_args)

@@ -84,7 +84,8 @@ def get_dataset(cfg: Config, phase: str):
             rows=cfg.synthetic_rows, fields=cfg.synthetic_fields,
             vocab=cfg.synthetic_vocab, dense=cfg.synthetic_dense,
             zipf=cfg.synthetic_zipf, seed=cfg.numpy_rand_seed,
-            dist=getattr(cfg, "synthetic_dist", "zipf"), trace=trace)
+            dist=getattr(cfg, "synthetic_dist", "zipf"), trace=trace,
+            shift_at=getattr(cfg, "synthetic_shift", 0.0))
         n = len(data)
         from ..data.datasets import CTRArrays
         cut = n * 6 // 7

@@ -206,3 +206,39 @@ def test_trace_dataset_end_to_end():
     state, m, p = _one_step(_cfg(synthetic_dist="trace",
                                  synthetic_rows=2048))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_shifted_stream_changes_hot_set():
+    """shift_at re-draws the Zipf rank->id mapping mid-stream: the two
+    halves' top ids must be (almost) disjoint, while an unshifted stream's
+    halves share their hot set."""
+    a = make_synthetic_arrays(rows=20000, fields=1, vocab=5000, dense=0,
+                              zipf=1.3, seed=3, shift_at=0.5)
+
+    def top_ids(ids, k=20):
+        v, c = np.unique(ids, return_counts=True)
+        return set(v[np.argsort(-c)[:k]].tolist())
+
+    h1 = top_ids(a.sparse[:10000, 0])
+    h2 = top_ids(a.sparse[10000:, 0])
+    assert len(h1 & h2) <= 2
+    b = make_synthetic_arrays(rows=20000, fields=1, vocab=5000, dense=0,
+                              zipf=1.3, seed=3)
+    h1 = top_ids(b.sparse[:10000, 0])
+    h2 = top_ids(b.sparse[10000:, 0])
+    assert len(h1 & h2) >= 15
+
+
+def test_graphrec_driver_helpers(tmp_path):
+    import main_graphrec as mg
+    p = tmp_path / "train.txt"
+    p.write_text("0 3 5 7\n1 2\n3 9\n")
+    user_items, n_items = mg.load_gowalla_txt(str(p))
+    assert n_items == 10
+    assert len(user_items) == 4            # user 2 has no line -> empty
+    np.testing.assert_array_equal(user_items[0], [3, 5, 7])
+    assert user_items[2].size == 0
+    train, test, ni = mg.make_synthetic_interactions(
+        n_users=40, n_items=80, seed=0)
+    assert len(train) == len(test) == 40
+    assert all(len(t) >= 1 for t in train)
