@@ -186,6 +186,9 @@ def make_synthetic_arrays(rows: int = 65536, fields: int = 8,
     """
     rng = np.random.default_rng(seed)
     counts = np.full(fields, vocab, dtype=np.int32)
+    if 0.0 < shift_at < 1.0 and dist != "zipf":
+        raise ValueError(
+            f"shift_at is only defined for dist='zipf' (got {dist!r})")
     if dist == "zipf" and 0.0 < shift_at < 1.0:
         cut = int(rows * shift_at)
         cols = [np.concatenate([
@@ -201,8 +204,15 @@ def make_synthetic_arrays(rows: int = 65536, fields: int = 8,
     elif dist == "trace":
         if trace is None:
             trace = _zipf_ids(rng, min(rows, 16384), vocab, zipf)
-        cols = [make_trace_ids(rng, rows, vocab, trace)
-                for _ in range(fields)]
+        # profile ONCE; each field then synthesizes its own stream from
+        # the shared reuse-distance tables
+        lines, list_sd, cumm_sd = trace_profile(trace)
+        cols = []
+        for _ in range(fields):
+            out = trace_generate_lru(lines, list_sd, cumm_sd, rows, rng)
+            if out.min() < 0 or out.max() >= vocab:
+                out = out % vocab
+            cols.append(out.astype(np.int32))
     else:
         raise ValueError(f"unknown synthetic dist {dist!r}")
     sparse = np.stack(cols, axis=1)

@@ -40,6 +40,12 @@ def build_embedding_layer(cfg, counts, dim: int,
     parts = []
 
     weighted = getattr(cfg, "weighted_pooling", "") or ""
+    if weighted and method not in ("full", "hash"):
+        # the reference only builds v_W_l for its plain embedding tables
+        # (dlrm_s_pytorch.py:343-354); applying it to part of a compressed
+        # layer would silently train a mixed model
+        raise ValueError(
+            f"--weighted_pooling supports methods full/hash, not {method}")
 
     def full_part(fields):
         if fields:

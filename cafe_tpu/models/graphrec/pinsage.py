@@ -99,6 +99,7 @@ class PinSAGEConfig:
     compress_ratio: int = 1      # >1 enables CAFE (layers.py:81-90)
     sketch_threshold: float = 500.0
     seed: int = 0
+    optimizer: str = "sgd"       # embedding-table optimizer: sgd | adagrad
 
 
 class PinSAGE:
@@ -112,9 +113,11 @@ class PinSAGE:
             hotn = max(int(size - hash_size) * d // (d + 13), 2)
             hash_size = max(hash_size, 1)
             self.part = CafePart([0], [n_items], [0], hotn, [hash_size], d,
-                                 cfg.sketch_threshold, 0.99, n_items)
+                                 cfg.sketch_threshold, 0.99, n_items,
+                                 optimizer=cfg.optimizer)
         else:
-            self.part = HashedTablePart([0], [n_items], [n_items], d)
+            self.part = HashedTablePart([0], [n_items], [n_items], d,
+                                        optimizer=cfg.optimizer)
 
     def init(self) -> Dict:
         rng = np.random.default_rng(self.cfg.seed)

@@ -126,16 +126,24 @@ def run_lightgcn(args, train_pos, test_pos, n_items):
             print(f"resumed from {ck} (epoch {ep})", flush=True)
     step = model.jit_step()
 
+    rec = float("nan")
+    if start_ep >= args.epochs:
+        rec = model.recall_at_k(state, train_pos, test_pos, k=args.topk)
+        print(f"nothing to train (resumed epoch {start_ep} >= --epochs "
+              f"{args.epochs}); recall@{args.topk} {rec:.4f}", flush=True)
     for ep in range(start_ep, args.epochs):
         t0 = time.time()
         triples = sample_negative(n_users, n_items, len(items), train_pos,
                                   seed=args.seed + ep)
         perm = np.random.default_rng(ep).permutation(len(triples))
         triples = triples[perm]
+        # clamp so tiny datasets still take gradient steps (a fixed batch
+        # keeps the jitted step at one compiled shape; the tail remainder
+        # smaller than the batch is dropped, like the CTR drop_last path)
+        bb = min(args.bpr_batch, len(triples))
         losses = []
-        for lo in range(0, len(triples) - args.bpr_batch + 1,
-                        args.bpr_batch):
-            t = triples[lo:lo + args.bpr_batch]
+        for lo in range(0, len(triples) - bb + 1, bb):
+            t = triples[lo:lo + bb]
             state, loss = step(state, jnp.asarray(t[:, 0]),
                                jnp.asarray(t[:, 1]), jnp.asarray(t[:, 2]))
             losses.append(float(loss))
@@ -156,7 +164,7 @@ def run_pinsage(args, train_pos, test_pos, n_items):
     cfg = PinSAGEConfig(hidden_dims=args.dim, n_layers=min(args.layers, 2),
                         lr=args.lr, compress_ratio=args.compress_ratio,
                         sketch_threshold=args.sketch_threshold,
-                        seed=args.seed)
+                        seed=args.seed, optimizer=args.optimizer)
     model = PinSAGE(cfg, n_items)
     item_users = [[] for _ in range(n_items)]
     for u, its in enumerate(train_pos):
@@ -176,6 +184,10 @@ def run_pinsage(args, train_pos, test_pos, n_items):
     step = jax.jit(model.train_step, static_argnames=())
 
     batches = max(args.steps_per_epoch, 1)
+    losses = [float("nan")]
+    if start_ep >= args.epochs:
+        print(f"nothing to train: resumed epoch {start_ep} >= "
+              f"--epochs {args.epochs}", flush=True)
     for ep in range(start_ep, args.epochs):
         t0 = time.time()
         losses = []
@@ -229,8 +241,12 @@ def main(argv=None):
                                                   "train.txt"))
         test_pos, n2 = load_gowalla_txt(osp.join(args.data_path,
                                                  "test.txt"))
+        # pad BOTH ways so cold-start users present only in test.txt are
+        # still counted by recall@k (with empty train history)
         while len(test_pos) < len(train_pos):
             test_pos.append(np.empty(0, np.int32))
+        while len(train_pos) < len(test_pos):
+            train_pos.append(np.empty(0, np.int32))
         n_items = max(n1, n2)
     else:
         train_pos, test_pos, n_items = make_synthetic_interactions(
