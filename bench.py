@@ -50,6 +50,10 @@ def main():
         cafe_sketch_threshold=500.0, cafe_hash_rate=0.5,
         mini_batch_size=BATCH, learning_rate=0.1, optimizer="sgd",
         bf16=True,
+        # NOTE: donate_state=True measured ~30% SLOWER here (17.1M vs
+        # 24.2M ex/s): on this single-chip runtime donation breaks the
+        # async in-place aliasing XLA already finds, forcing synchronous
+        # buffer rotation. Leave it off for the headline number.
     )
     counts = np.asarray(CRITEO_COUNTS, dtype=np.int64)
 

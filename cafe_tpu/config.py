@@ -81,6 +81,9 @@ class Config:
     synthetic_trace_file: str = ""     # id trace (.npy/.bin int32) for "trace"
     synthetic_shift: float = 0.0       # hot-set shift point in (0,1); 0 = off
     # TPU-specific
+    donate_state: bool = False         # donate TrainState buffers to the jitted
+                                       # step (in-place table updates; the old
+                                       # state is invalid after each step)
     mesh_shape: Optional[int] = None   # number of devices for the data axis; None = all
     shard_embeddings: bool = False     # row-shard tables + sketch over the mesh
     bf16: bool = False                 # bfloat16 matmuls in the dense towers

@@ -62,8 +62,12 @@ def build_train_step(model, embed_layer, cfg):
     opt_kind = cfg.optimizer
     use_sched = (getattr(cfg, "lr_num_warmup_steps", 0) > 0
                  or getattr(cfg, "lr_num_decay_steps", 0) > 0)
+    # donating the state lets XLA update tables in place instead of
+    # allocating fresh output buffers; callers must not reuse the old
+    # TrainState after the call (the driver loop never does)
+    donate = (0,) if getattr(cfg, "donate_state", False) else ()
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=donate)
     def train_step(state: TrainState, dense_x, ids, labels, valid
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         b = ids.shape[0]
