@@ -134,6 +134,21 @@ def run(cfg: Config) -> Dict:
     train_data = get_dataset(cfg, "train")
     test_data = get_dataset(cfg, "test")
     model, embed, state, train_step, eval_step = build_all(cfg, train_data)
+    if cfg.mesh_shape is not None or cfg.shard_embeddings:
+        # SPMD over the device mesh: DP dense towers + (optionally)
+        # row-sharded tables and sketch. New capability vs the reference
+        # (SURVEY.md §2.6: it has no distributed execution).
+        from ..parallel import make_mesh, shard_train_step
+        mesh = make_mesh(cfg.mesh_shape)
+        n = mesh.devices.size
+        if cfg.mini_batch_size % n:
+            raise ValueError(f"--mini_batch_size {cfg.mini_batch_size} "
+                             f"must divide by the {n}-device mesh")
+        train_step, state = shard_train_step(
+            train_step, mesh, state,
+            shard_embeddings=cfg.shard_embeddings)
+        print(f"sharded over {n} devices "
+              f"(shard_embeddings={cfg.shard_embeddings})", flush=True)
     print(f"setup done in {time.time() - t_build:.1f}s; "
           f"counts={np.asarray(train_data.counts)[:8]}...", flush=True)
 

@@ -10,8 +10,27 @@ Examples:
       --mini_batch_size 128 --test_freq 30000
 """
 
-from cafe_tpu.config import parse_args
-from cafe_tpu.train.loop import run
+import os
+
+
+def _honor_platform_env():
+    """Some TPU plugins register themselves regardless of JAX_PLATFORMS;
+    force the requested backend through the config before backend init so
+    `JAX_PLATFORMS=cpu python main.py ...` (e.g. virtual multi-device CPU
+    meshes via --xla_force_host_platform_device_count) works."""
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        import jax
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
+_honor_platform_env()
+
+from cafe_tpu.config import parse_args       # noqa: E402
+from cafe_tpu.train.loop import run          # noqa: E402
 
 
 def main():
