@@ -9,8 +9,9 @@ behind compute.
 
 from __future__ import annotations
 
-import queue
-import threading
+import collections
+import itertools
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import jax
@@ -19,31 +20,34 @@ import jax.numpy as jnp
 _SENTINEL = object()
 
 
-def device_prefetch(batch_iter: Iterator, depth: int = 2) -> Iterator:
+def device_prefetch(batch_iter: Iterator, depth: int = 8,
+                    transfer_workers: int = 4) -> Iterator:
     """Wrap a (dense, sparse, label, valid) iterator; yields the same
-    tuples with arrays already on the default device."""
+    tuples with arrays already on the default device.
 
-    q: queue.Queue = queue.Queue(maxsize=depth)
-    err = []
+    Transfers run on a small thread pool with an ordered future queue:
+    each device_put is dominated by round-trip latency (severely so on
+    remote-tunnel runtimes), so overlapping several in flight — not just
+    double-buffering one — is what keeps the step dispatch fed. Results
+    are yielded strictly in input order."""
 
-    def worker():
-        try:
-            for dense, sparse, label, valid in batch_iter:
-                dx = None if dense is None else jax.device_put(
-                    jnp.asarray(dense))
-                q.put((dx, jax.device_put(jnp.asarray(sparse)),
-                       jax.device_put(jnp.asarray(label)), valid))
-        except Exception as e:  # pragma: no cover
-            err.append(e)
-        finally:
-            q.put(_SENTINEL)
+    def put(b):
+        dense, sparse, label, valid = b
+        dx = None if dense is None else jax.device_put(jnp.asarray(dense))
+        return (dx, jax.device_put(jnp.asarray(sparse)),
+                jax.device_put(jnp.asarray(label)), valid)
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        yield item
-    if err:
-        raise err[0]
+    ex = ThreadPoolExecutor(max_workers=transfer_workers)
+    futs = collections.deque()
+    it = iter(batch_iter)
+    try:
+        for b in itertools.islice(it, depth):
+            futs.append(ex.submit(put, b))
+        while futs:
+            out = futs.popleft().result()
+            nxt = next(it, _SENTINEL)
+            if nxt is not _SENTINEL:
+                futs.append(ex.submit(put, nxt))
+            yield out
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)

@@ -28,8 +28,8 @@ _TILE = 256
 _NBUF = 2
 
 
-def _gather_kernel(ids_ref, table_hbm, out_ref, sems):
-    """One grid step copies _TILE rows table[ids[tile]] -> out tile.
+def _gather_kernel(tile, ids_ref, table_hbm, out_ref, sems):
+    """One grid step copies `tile` rows table[ids[tile]] -> out tile.
 
     All row DMAs for the tile are issued back-to-back (row -> its own output
     slot, no staging copy) and only then waited on, so the DMA engines see
@@ -37,13 +37,13 @@ def _gather_kernel(ids_ref, table_hbm, out_ref, sems):
     latency-bound, and queue depth is the only lever.
     """
     t = pl.program_id(0)
-    for i in range(_TILE):
+    for i in range(tile):
         pltpu.make_async_copy(
-            table_hbm.at[ids_ref[t * _TILE + i]], out_ref.at[i],
+            table_hbm.at[ids_ref[t * tile + i]], out_ref.at[i],
             sems.at[i]).start()
-    for i in range(_TILE):
+    for i in range(tile):
         pltpu.make_async_copy(
-            table_hbm.at[ids_ref[t * _TILE + i]], out_ref.at[i],
+            table_hbm.at[ids_ref[t * tile + i]], out_ref.at[i],
             sems.at[i]).wait()
 
 
@@ -65,7 +65,7 @@ def pallas_gather(table: jnp.ndarray, ids: jnp.ndarray,
         ],
     )
     return pl.pallas_call(
-        _gather_kernel,
+        functools.partial(_gather_kernel, tile),
         out_shape=jax.ShapeDtypeStruct((b, d), table.dtype),
         grid_spec=grid_spec,
         interpret=interpret,

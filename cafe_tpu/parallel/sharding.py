@@ -27,7 +27,10 @@ _ROW_SHARDED_2D = {"table", "hash", "high", "q", "r", "hot", "cold",
                    "weight", "table_acc", "hash_acc", "high_acc", "q_acc",
                    "r_acc", "hot_acc", "cold_acc", "weight_acc"}
 _ROW_SHARDED_1D = {"dic", "grad_norm", "hot_dict"}
-_SKETCH_2D = {"val", "cnt"}  # sketch dic handled by name too
+# sketch bucket arrays: v1 (val/cnt; dic handled by name) and the CAFE+
+# two-tier state (main tier val1/cnt1/dic1, staging val2/cnt2/dic2/ts2)
+_SKETCH_2D = {"val", "cnt", "val1", "cnt1", "dic1",
+              "val2", "cnt2", "dic2", "ts2"}
 
 _MIN_ROWS = 1024  # don't bother sharding tiny tables
 
@@ -78,9 +81,12 @@ def batch_shardings(mesh: Mesh):
 
 
 def shard_train_step(train_step, mesh: Mesh, state: Any,
-                     shard_embeddings: bool):
+                     shard_embeddings: bool, donate: bool = False):
     """Re-jit a built train step with explicit in/out shardings and place
-    `state` accordingly. Returns (sharded_step, placed_state)."""
+    `state` accordingly. Returns (sharded_step, placed_state).
+
+    `donate` re-applies state-buffer donation (the original jit's
+    donate_argnums is lost when re-jitting the unwrapped function)."""
     st_sh = state_shardings(state, mesh, shard_embeddings)
     dense_sh, ids_sh, lab_sh, val_sh = batch_shardings(mesh)
     placed = jax.device_put(state, st_sh)
@@ -89,5 +95,6 @@ def shard_train_step(train_step, mesh: Mesh, state: Any,
         else train_step,
         in_shardings=(st_sh, dense_sh, ids_sh, lab_sh, val_sh),
         out_shardings=(st_sh, None),
+        donate_argnums=(0,) if donate else (),
     )
     return fn, placed

@@ -118,17 +118,31 @@ def sketch_query(cfg: HotSketchConfig, state: HotSketchState,
     return jnp.where(slot > 0, -slot, ids)
 
 
+def alloc_slots(free, free_top, want_mask):
+    """Pop a free hot slot per True lane of want_mask (by prefix-sum rank).
+    Returns (slot, got, new_free_top). Shared by both sketch generations."""
+    rank = jnp.cumsum(want_mask.astype(jnp.int32))
+    idx = free_top - rank
+    got = want_mask & (idx >= 0)
+    slot = jnp.where(got, free[jnp.clip(idx, 0, free.shape[0] - 1)], 0)
+    return slot, got, free_top - got.sum(dtype=jnp.int32)
+
+
+def push_slots(free, free_top, slots, mask):
+    """Push slots[mask] onto the free stack via masked scatter."""
+    pos = free_top + jnp.cumsum(mask.astype(jnp.int32)) - 1
+    pos = jnp.where(mask, pos, free.shape[0])  # OOB -> dropped
+    free = free.at[pos].set(slots, mode="drop")
+    return free, free_top + mask.sum(dtype=jnp.int32)
+
+
 def _decay(cfg: HotSketchConfig, state: HotSketchState) -> HotSketchState:
     """Multiplicative decay + demotion of hot ids dropping below threshold
     (sketch.cpp:76-88)."""
     demote = (state.dic != 0) & (state.cnt * cfg.decay < cfg.threshold)
     dflat = demote.reshape(-1)
     dic_flat = state.dic.reshape(-1)
-    # push freed slots onto the stack via masked scatter
-    pos = state.free_top + jnp.cumsum(dflat.astype(jnp.int32)) - 1
-    pos = jnp.where(dflat, pos, state.free.shape[0])  # OOB -> dropped
-    free = state.free.at[pos].set(dic_flat, mode="drop")
-    free_top = state.free_top + dflat.sum(dtype=jnp.int32)
+    free, free_top = push_slots(state.free, state.free_top, dic_flat, dflat)
     return state._replace(
         cnt=state.cnt * cfg.decay,
         dic=jnp.where(demote, 0, state.dic),
@@ -139,15 +153,20 @@ def _decay(cfg: HotSketchConfig, state: HotSketchState) -> HotSketchState:
 
 
 class InsertResult(NamedTuple):
-    """Newly promoted ids, laid out in the insert's internal (sorted) order.
+    """Newly promoted ids, laid out in the insert's internal order.
 
     `slots[i]` is valid only where `mask[i]`; (`ids[i]`, `slots[i]`) pairs
     drive hot-row migration (weight_high[slot] <- weight_hash[id % hash]).
+
+    Lane count is implementation-defined: the v1 sketch returns the
+    flattened [B*cells] candidate grid (promotion sweeps every touched
+    bucket cell), the CAFE+ sketch returns [B]. Consumers must treat the
+    arrays as (ids, slots, mask) triples of matching length, nothing more.
     """
 
-    ids: jnp.ndarray   # int32 [B]
-    slots: jnp.ndarray  # int32 [B]
-    mask: jnp.ndarray  # bool  [B]
+    ids: jnp.ndarray   # int32 [L]
+    slots: jnp.ndarray  # int32 [L]
+    mask: jnp.ndarray  # bool  [L]
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -255,14 +274,10 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     tf = fresh[h]
     cand = rep2[:, None] & (tc > 0.0) & (tc >= k) & (td == 0) & ~tf
     cand_f = cand.reshape(-1)
-    rank = jnp.cumsum(cand_f.astype(jnp.int32))
-    slot_idx = free_top - rank
-    can = cand_f & (slot_idx >= 0)
-    slot = jnp.where(can, free[jnp.clip(slot_idx, 0, free.shape[0] - 1)], 0)
+    slot, can, free_top = alloc_slots(free, free_top, cand_f)
     hb = jnp.repeat(h, c)
     cell_idx = jnp.tile(jnp.arange(c), b)
     dic = dic.at[jnp.where(can, hb, sp), cell_idx].set(slot, mode="drop")
-    free_top = free_top - can.sum(dtype=jnp.int32)
 
     new_state = HotSketchState(
         val=val, cnt=cnt, dic=dic, free=free, free_top=free_top,
@@ -277,15 +292,24 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
 def rebuild_free_list(cfg: HotSketchConfig,
                       state: HotSketchState) -> HotSketchState:
     """Rebuild the free stack by scanning slot occupancy — the reference's
-    post-checkpoint-load `update()` (sketch.cpp:61-75)."""
+    post-checkpoint-load `update()` (sketch.cpp:61-75).
+
+    Preserves the padded free-array shape (ROW_ALIGN invariant): padding
+    lanes sort to the end and free_top never reaches them."""
     s = cfg.buckets
-    used = jnp.zeros(s, bool).at[state.dic.reshape(-1)].set(True)
-    used = used.at[0].set(True)  # slot 0 is the "cold" sentinel
-    order = jnp.argsort(used, stable=True)  # unused slot indices first
-    n_free = (~used).sum(dtype=jnp.int32)
+    sp = state.free.shape[0]
+    used = jnp.zeros(sp, bool).at[state.dic.reshape(-1)].set(
+        True, mode="drop")
+    idx = jnp.arange(sp)
+    is_slot = (idx >= 1) & (idx < s)  # slot 0 = cold sentinel; >=s = padding
+    free_mask = is_slot & ~used
+    order = jnp.argsort(~free_mask, stable=True)  # free slot indices first
+    n_free = free_mask.sum(dtype=jnp.int32)
     return state._replace(free=order.astype(jnp.int32), free_top=n_free)
 
 
-def hot_fraction(state: HotSketchState) -> jnp.ndarray:
-    """Fraction of hot slots currently allocated (diagnostic)."""
-    return (state.dic != 0).sum() / max(1, state.dic.shape[0] - 1)
+def hot_fraction(cfg: HotSketchConfig, state: HotSketchState) -> jnp.ndarray:
+    """Fraction of the buckets-1 usable hot slots currently allocated
+    (diagnostic; counts via the free stack, not the padded dic array)."""
+    capacity = max(cfg.buckets - 1, 1)
+    return (capacity - state.free_top) / capacity

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .hotsketch import INVALID_ID, InsertResult
+from .hotsketch import INVALID_ID, InsertResult, alloc_slots, push_slots
 
 _H1 = np.uint32(2654435761)
 _H2 = np.uint32(0x85EBCA6B)
@@ -129,21 +129,9 @@ def sketch_query_plus(cfg: CafePlusConfig, st: CafePlusState,
     return jnp.where(occupied & (slot > 0), -slot, ids)
 
 
-def _alloc(free, free_top, want_mask):
-    """Pop a slot per True lane of want_mask; returns (slot, got, free_top)."""
-    rank = jnp.cumsum(want_mask.astype(jnp.int32))
-    idx = free_top - rank
-    got = want_mask & (idx >= 0)
-    slot = jnp.where(got, free[jnp.clip(idx, 0, free.shape[0] - 1)], 0)
-    return slot, got, free_top - got.sum(dtype=jnp.int32)
-
-
-def _push(free, free_top, slots, mask):
-    """Push slots[mask] onto the stack."""
-    pos = free_top + jnp.cumsum(mask.astype(jnp.int32)) - 1
-    pos = jnp.where(mask, pos, free.shape[0])
-    free = free.at[pos].set(slots, mode="drop")
-    return free, free_top + mask.sum(dtype=jnp.int32)
+# slot-stack discipline shared with the v1 sketch (single source of truth)
+_alloc = alloc_slots
+_push = push_slots
 
 
 def _main_tier_insert(cfg, val1, cnt1, dic1, free, free_top,
@@ -202,26 +190,29 @@ def _reset(cfg: CafePlusConfig, st: CafePlusState) -> CafePlusState:
     order = jnp.argsort(key)
     rank = jnp.zeros((m,), jnp.int32).at[order].set(
         jnp.arange(m, dtype=jnp.int32))
-    cut = jnp.maximum(l - lim, 0)
+    # slot capacity is lim-1 (slot 0 is the cold sentinel): keep at most
+    # lim-1 candidates hot, everything below the cut is demoted
+    cut = jnp.maximum(l - (lim - 1), 0)
     demote = cand & (rank < cut) & (dic_all != 0)
     promote = cand & (rank >= cut) & (rank < l) & (dic_all == 0)
 
     free, free_top = st.free, st.free_top
-    # free demoted slots (ascending-rank order like the reference loop)
     sorted_dic = dic_all[order]
     sorted_demote = demote[order]
     free, free_top = _push(free, free_top, sorted_dic, sorted_demote)
     dic_all = jnp.where(demote, 0, dic_all)
-    # grant slots to promoted candidates
-    sorted_promote = promote[order]
+    # grant slots to promoted candidates in DESCENDING-count order, so if
+    # slots ever run short the lowest-count candidates are the ones denied
+    rorder = order[::-1]
+    sorted_promote = promote[rorder]
     slot_s, got_s, free_top = _alloc(free, free_top, sorted_promote)
-    new_dic_sorted = jnp.zeros((m,), jnp.int32).at[order].set(
+    new_dic_sorted = jnp.zeros((m,), jnp.int32).at[rorder].set(
         jnp.where(got_s, slot_s, 0))
     dic_all = jnp.where(promote, new_dic_sorted, dic_all)
 
     # new threshold = count at the cut position (sketch.cpp:112)
     sorted_cnt = jnp.sort(key)
-    thr = jnp.where(l > lim, sorted_cnt[jnp.clip(cut, 0, m - 1)],
+    thr = jnp.where(cut > 0, sorted_cnt[jnp.clip(cut, 0, m - 1)],
                     st.threshold)
     n1e = st.cnt1.size
     return st._replace(
@@ -229,7 +220,7 @@ def _reset(cfg: CafePlusConfig, st: CafePlusState) -> CafePlusState:
         dic2=dic_all[n1e:].reshape(st.dic2.shape),
         free=free, free_top=free_top,
         threshold=thr.astype(jnp.float32),
-        real_n=jnp.asarray(lim, jnp.int32),
+        real_n=jnp.minimum(l, lim - 1).astype(jnp.int32),
     )
 
 
@@ -337,30 +328,52 @@ def sketch_insert_plus(cfg: CafePlusConfig, st: CafePlusState,
     ts2 = ts2.at[hz, cell2].set(0, mode="drop")
 
     # ---- 3. brand-new ids displace the staging LRU victim (:193-209)
+    # Conflict-free placement: per round ONE representative lane per bucket
+    # (min-id, then min-lane claim — the v1 pattern) places into a victim
+    # cell chosen from the CURRENT arrays, so two colliding fresh ids land
+    # in different cells across rounds instead of clobbering one another,
+    # and each displaced victim is selected exactly once.
     fresh = pend & ~matched2
-    sv, sc, sd, stt = val2[h2], cnt2[h2], dic2[h2], ts2[h2]
-    occ2 = sc > 0
-    has_empty = (~occ2).any(axis=1)
-    cell_v = jnp.where(has_empty, jnp.argmax(~occ2, axis=1),
-                       jnp.argmin(stt, axis=1))
-    # victim worth keeping moves to the main tier
-    vic_cnt = sc[lanes, cell_v]
-    vic_dic = sd[lanes, cell_v]
-    vic_val = sv[lanes, cell_v]
-    keep_vic = fresh & ~has_empty & (
-        (vic_dic != 0) | (vic_cnt >= LRU_MOVE_MIN_CNT))
-    # claim the staging cell (conflict-resolved)
     placed = jnp.zeros_like(fresh)
+    placed_cell = jnp.zeros(b, jnp.int32)
+    vic_move = jnp.zeros_like(fresh)
+    vic_val_l = jnp.zeros(b, jnp.int32)
+    vic_cnt_l = jnp.zeros(b, jnp.float32)
+    vic_dic_l = jnp.zeros(b, jnp.int32)
     for _ in range(cfg.insert_rounds):
         p = fresh & ~placed
-        hw = jnp.where(p, h2, n2p)
+        claim_id = jnp.full((n2p,), INVALID_ID, jnp.int32).at[
+            jnp.where(p, h2, n2p)].min(sid, mode="drop")
+        winner = p & (claim_id[h2] == sid)
+        claim_lane = jnp.full((n2p,), b, jnp.int32).at[
+            jnp.where(winner, h2, n2p)].min(lanes.astype(jnp.int32),
+                                            mode="drop")
+        rep = winner & (claim_lane[h2] == lanes)
+
+        sv, sc, sd, stt = val2[h2], cnt2[h2], dic2[h2], ts2[h2]
+        occ2 = sc > 0
+        has_empty = (~occ2).any(axis=1)
+        cell_v = jnp.where(has_empty, jnp.argmax(~occ2, axis=1),
+                           jnp.argmin(stt, axis=1))
+        # victim worth keeping moves to the main tier (:193-195)
+        vcnt = sc[lanes, cell_v]
+        vdic = sd[lanes, cell_v]
+        vval = sv[lanes, cell_v]
+        keep = rep & ~has_empty & ((vdic != 0) | (vcnt >= LRU_MOVE_MIN_CNT))
+        vic_move = vic_move | keep
+        vic_val_l = jnp.where(keep, vval, vic_val_l)
+        vic_cnt_l = jnp.where(keep, vcnt, vic_cnt_l)
+        vic_dic_l = jnp.where(keep, vdic, vic_dic_l)
+
+        hw = jnp.where(rep, h2, n2p)
         val2 = val2.at[hw, cell_v].set(sid, mode="drop")
-        won = p & (val2[h2, cell_v] == sid)
-        hwon = jnp.where(won, h2, n2p)
-        cnt2 = cnt2.at[hwon, cell_v].set(uscore, mode="drop")
-        dic2 = dic2.at[hwon, cell_v].set(0, mode="drop")
-        ts2 = ts2.at[hwon, cell_v].set(step, mode="drop")
-        placed = placed | won
+        cnt2 = cnt2.at[hw, cell_v].set(uscore, mode="drop")
+        dic2 = dic2.at[hw, cell_v].set(0, mode="drop")
+        ts2 = ts2.at[hw, cell_v].set(step, mode="drop")
+        placed_cell = jnp.where(rep, cell_v, placed_cell)
+        placed = placed | rep
+    # residual colliders simply retry on a later batch (v1 semantics)
+
     # a fresh id whose batch-summed score already clears the threshold
     # counts as a crossing and earns a slot right away (the reference's
     # insertLRU runs the same checks on the freshly placed cell,
@@ -368,13 +381,13 @@ def sketch_insert_plus(cfg: CafePlusConfig, st: CafePlusState,
     crossed3 = placed & (uscore >= thr)
     real_n = real_n + crossed3.sum(dtype=jnp.int32)
     slot3, got3, free_top = _alloc(free, free_top, crossed3)
-    dic2 = dic2.at[jnp.where(got3, h2, n2p), cell_v].set(slot3, mode="drop")
+    dic2 = dic2.at[jnp.where(got3, h2, n2p), placed_cell].set(
+        slot3, mode="drop")
     promo_slot = jnp.where(got3, slot3, promo_slot)
-    # move displaced victims (only those whose cell was actually taken)
-    vic_move = keep_vic & placed
+    # move displaced victims (each selected exactly once above)
     val1, cnt1, dic1, free, free_top, vdropped = _main_tier_insert(
         cfg, val1, cnt1, dic1, free, free_top,
-        vic_val, vic_cnt, vic_dic, vic_move)
+        vic_val_l, vic_cnt_l, vic_dic_l, vic_move)
 
     new_st = CafePlusState(
         val1=val1, cnt1=cnt1, dic1=dic1,

@@ -146,7 +146,8 @@ def run(cfg: Config) -> Dict:
                              f"must divide by the {n}-device mesh")
         train_step, state = shard_train_step(
             train_step, mesh, state,
-            shard_embeddings=cfg.shard_embeddings)
+            shard_embeddings=cfg.shard_embeddings,
+            donate=cfg.donate_state)
         print(f"sharded over {n} devices "
               f"(shard_embeddings={cfg.shard_embeddings})", flush=True)
     print(f"setup done in {time.time() - t_build:.1f}s; "
@@ -207,7 +208,12 @@ def run(cfg: Config) -> Dict:
         print(f"autoencoder pretraining done ({n_pre} batches)", flush=True)
 
     result = {}
-    total_loss, total_samp, total_iter = 0.0, 0.0, 0
+    # loss accumulates ON DEVICE: a per-step float(m["loss"]) would force
+    # a host round-trip sync every iteration (measured 44 ms/it through
+    # the remote tunnel vs ~0.1 ms of actual device work); one sync per
+    # print window keeps the async dispatch pipeline full.
+    total_loss = jnp.zeros((), jnp.float32)
+    total_samp, total_iter = 0.0, 0
     t_window = time.time()
     train_ms = 0.0
     from ..data.loader import device_prefetch
@@ -229,7 +235,7 @@ def run(cfg: Config) -> Dict:
                 jax.profiler.stop_trace()
                 print(f"profile written to "
                       f"{cfg.tensor_board_filename}/profile", flush=True)
-            total_loss += float(m["loss"]) * valid
+            total_loss = total_loss + m["loss"] * valid
             total_samp += valid
             total_iter += 1
 
@@ -242,13 +248,14 @@ def run(cfg: Config) -> Dict:
                 now = time.time()
                 train_ms = (now - t_window) * 1000.0 / max(total_iter, 1)
                 t_window = now
-                train_loss = total_loss / max(total_samp, 1)
+                train_loss = float(total_loss) / max(total_samp, 1)
                 print(f"Finished training it {it + 1}/{nbatches} of epoch "
                       f"{ep}, {train_ms:.2f} ms/it, loss {train_loss:.6f}",
                       flush=True)
                 log_iter = nbatches * ep + it + 1
                 logger.add_scalar("Train/Loss", train_loss, log_iter)
-                total_loss, total_samp, total_iter = 0.0, 0.0, 0
+                total_loss = jnp.zeros((), jnp.float32)
+                total_samp, total_iter = 0.0, 0
 
             if should_test or (cfg.test_throughput
                                and it + 1 == 2 * cfg.print_freq):

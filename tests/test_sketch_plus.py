@@ -154,3 +154,96 @@ class TestCafePlusPart:
             state, stats = p.apply_grads(state, ids, g, aux, lr=0.01)
         raw, (_, _, _, is_hot) = p.gather(state, ids)
         assert bool(is_hot[0, 0])
+
+
+class TestRegressionFixes:
+    """Regressions for review findings: staging-collision clobber,
+    reset denying the hottest id, free-stack conservation."""
+
+    def test_colliding_fresh_ids_both_survive(self):
+        # lim=10 -> n2 = 1 staging bucket: every fresh id collides
+        cfg = CafePlusConfig(lim=10, threshold=100.0, adjust_threshold=False)
+        st = init_sketch_plus(cfg)
+        ids, sc = pad_ids([5, 9], [1.0, 1.0], 8)
+        st, _ = sketch_insert_plus(cfg, st, ids, sc)
+        vals = set(np.asarray(st.val2[0]).tolist())
+        assert {5, 9} <= vals, vals  # neither id clobbered the other
+        # counts landed in distinct cells
+        v2 = np.asarray(st.val2[0])
+        c2 = np.asarray(st.cnt2[0])
+        for want in (5, 9):
+            assert c2[list(v2).index(want)] == 1.0
+
+    def test_colliding_fresh_hot_ids_get_distinct_slots(self):
+        cfg = CafePlusConfig(lim=10, threshold=0.5, adjust_threshold=False)
+        st = init_sketch_plus(cfg)
+        before = int(st.free_top)
+        ids, sc = pad_ids([5, 9], [1.0, 1.0], 8)
+        st, res = sketch_insert_plus(cfg, st, ids, sc)
+        q = np.asarray(sketch_query_plus(cfg, st, ids))
+        slots = {-q[0], -q[1]}
+        assert all(s > 0 for s in slots) and len(slots) == 2, q
+        assert int(st.free_top) == before - 2  # no leak, no double-pop
+
+    def test_free_stack_conserved_under_collisions(self):
+        cfg = CafePlusConfig(lim=16, threshold=2.0, adjust_threshold=False)
+        st = init_sketch_plus(cfg)
+        rng = np.random.default_rng(0)
+        for _ in range(30):
+            ids = rng.integers(0, 40, 16).astype(np.int32)
+            i, s = pad_ids(ids, np.ones(16), 16)
+            st, _ = sketch_insert_plus(cfg, st, i, s)
+        # every slot is either on the free stack or held by exactly one cell
+        held = np.concatenate([np.asarray(st.dic1).ravel(),
+                               np.asarray(st.dic2).ravel()])
+        held = held[held != 0]
+        assert len(set(held.tolist())) == len(held)  # no aliased slots
+        assert len(held) + int(st.free_top) == cfg.lim - 1
+
+    def test_reset_keeps_hottest_id_hot(self):
+        from cafe_tpu.sketch.hotsketch_plus import _reset
+        cfg = CafePlusConfig(lim=8, threshold=10.0)
+        st = init_sketch_plus(cfg)
+        # 12 candidate cells with counts 10..21 spread over main-tier cells
+        cnt1 = np.asarray(st.cnt1).copy()
+        val1 = np.asarray(st.val1).copy()
+        flat_c = cnt1.reshape(-1)
+        flat_v = val1.reshape(-1)
+        for k in range(12):
+            flat_c[k] = 10.0 + k
+            flat_v[k] = 100 + k
+        st = st._replace(cnt1=jnp.asarray(cnt1), val1=jnp.asarray(val1),
+                         real_n=jnp.asarray(12, np.int32))
+        st2 = _reset(cfg, st)
+        dic = np.asarray(st2.dic1).reshape(-1)
+        # the hottest candidate (count 21) MUST hold a slot
+        assert dic[11] != 0
+        # exactly lim-1 slots allocated, all distinct
+        held = dic[dic != 0]
+        assert len(held) == cfg.lim - 1
+        assert len(set(held.tolist())) == len(held)
+        # the lowest-count candidates were the ones denied
+        assert dic[0] == 0 and dic[1] == 0
+
+    def test_rebuild_free_list_preserves_padded_shape(self):
+        from cafe_tpu.sketch.hotsketch import (
+            HotSketchConfig, init_sketch, rebuild_free_list)
+        cfg = HotSketchConfig(buckets=64, threshold=5.0)
+        st = init_sketch(cfg)
+        st = st._replace(dic=st.dic.at[0, 0].set(3))
+        st2 = rebuild_free_list(cfg, st)
+        assert st2.free.shape == st.free.shape  # ROW_ALIGN padding kept
+        assert int(st2.free_top) == cfg.buckets - 2  # slot 3 in use
+        popped = np.asarray(st2.free[: int(st2.free_top)])
+        assert 3 not in popped and 0 not in popped
+        assert popped.max() < cfg.buckets
+
+
+def test_pallas_gather_honors_tile():
+    import jax
+    from cafe_tpu.ops.pallas_gather import pallas_gather
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, 512, 256).astype(np.int32))
+    out = pallas_gather(table, ids, tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]))
