@@ -81,6 +81,9 @@ class Config:
     synthetic_trace_file: str = ""     # id trace (.npy/.bin int32) for "trace"
     synthetic_shift: float = 0.0       # hot-set shift point in (0,1); 0 = off
     # TPU-specific
+    steps_per_dispatch: int = 1        # fuse K train steps into one jitted
+                                       # call (amortizes host dispatch; print/
+                                       # test cadence rounds to multiples of K)
     donate_state: bool = False         # donate TrainState buffers to the jitted
                                        # step (in-place table updates; the old
                                        # state is invalid after each step)

@@ -160,6 +160,14 @@ def run(cfg: Config) -> Dict:
 
     logger = ScalarLogger(cfg.tensor_board_filename or None)
     nbatches = num_batches(train_data, cfg.mini_batch_size)
+    # fuse K steps per host dispatch (amortizes the per-RPC latency of
+    # remote runtimes; see docs/PERF.md). Batches are fetched K*B at a
+    # time and split on device; iteration counters stay in B units.
+    k_disp = max(getattr(cfg, "steps_per_dispatch", 1), 1)
+    if k_disp > 1:
+        from .step import build_multi_step
+        train_step = build_multi_step(train_step, k_disp)
+    fetch = cfg.mini_batch_size * k_disp
 
     best_acc = 0.0
     skip_epoch, skip_batch = 0, 0
@@ -218,10 +226,9 @@ def run(cfg: Config) -> Dict:
     train_ms = 0.0
     from ..data.loader import device_prefetch
     for ep in range(skip_epoch, cfg.nepochs):
-        start_b = skip_batch if ep == skip_epoch else 0
+        start_b = (skip_batch // k_disp) if ep == skip_epoch else 0
         batches = device_prefetch(
-            batch_iterator(train_data, cfg.mini_batch_size,
-                           start_batch=start_b))
+            batch_iterator(train_data, fetch, start_batch=start_b))
         for it, (dense, sparse, label, valid) in enumerate(
                 batches, start=start_b):
             if cfg.enable_profiling and it == start_b + 10:
@@ -237,28 +244,30 @@ def run(cfg: Config) -> Dict:
                       f"{cfg.tensor_board_filename}/profile", flush=True)
             total_loss = total_loss + m["loss"] * valid
             total_samp += valid
-            total_iter += 1
+            total_iter += k_disp
 
-            should_print = ((it + 1) % cfg.print_freq == 0) \
-                or (it + 1 == nbatches) or (it <= 100 and not cfg.test_throughput)
+            eff_it = min((it + 1) * k_disp, nbatches)
+            should_print = (eff_it % cfg.print_freq < k_disp) \
+                or (eff_it == nbatches) \
+                or (eff_it <= 100 and not cfg.test_throughput)
             should_test = cfg.test_freq > 0 and (
-                (it + 1) % cfg.test_freq == 0 or it + 1 == nbatches)
+                eff_it % cfg.test_freq < k_disp or eff_it == nbatches)
             if should_print or should_test:
                 jax.block_until_ready(state.params)
                 now = time.time()
                 train_ms = (now - t_window) * 1000.0 / max(total_iter, 1)
                 t_window = now
                 train_loss = float(total_loss) / max(total_samp, 1)
-                print(f"Finished training it {it + 1}/{nbatches} of epoch "
+                print(f"Finished training it {eff_it}/{nbatches} of epoch "
                       f"{ep}, {train_ms:.2f} ms/it, loss {train_loss:.6f}",
                       flush=True)
-                log_iter = nbatches * ep + it + 1
+                log_iter = nbatches * ep + eff_it
                 logger.add_scalar("Train/Loss", train_loss, log_iter)
                 total_loss = jnp.zeros((), jnp.float32)
                 total_samp, total_iter = 0.0, 0
 
             if should_test or (cfg.test_throughput
-                               and it + 1 == 2 * cfg.print_freq):
+                               and eff_it >= 2 * cfg.print_freq):
                 if cfg.test_throughput:
                     _, test_ms = inference(cfg, eval_step, state, test_data,
                                            throughput=True)
@@ -270,7 +279,7 @@ def run(cfg: Config) -> Dict:
                     logger.close()
                     return {"latency": lat}
                 metrics, _ = inference(cfg, eval_step, state, test_data)
-                log_iter = nbatches * ep + it + 1
+                log_iter = nbatches * ep + eff_it
                 for k, v in metrics.items():
                     logger.add_scalar(k if k != "accuracy" else "Test/Acc",
                                       v, log_iter)
@@ -284,7 +293,7 @@ def run(cfg: Config) -> Dict:
                     if cfg.save_model:
                         save_checkpoint(cfg.save_model, state, {
                             "test_acc": best_acc, "epoch": ep,
-                            "iter": it + 1,
+                            "iter": eff_it,
                         })
                         print(f"saved model to {cfg.save_model}", flush=True)
     logger.close()

@@ -54,7 +54,8 @@ def _dense_update(params, grads, acc, lr, kind):
 def _bce(p, y, w):
     p = jnp.clip(p, EPS, 1.0 - EPS)
     losses = -(y * jnp.log(p) + (1.0 - y) * jnp.log1p(-p))
-    return jnp.sum(losses * w) / jnp.sum(w)
+    # an all-padding (sub-)batch has zero weight; return 0, not 0/0
+    return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def build_train_step(model, embed_layer, cfg):
@@ -102,6 +103,36 @@ def build_train_step(model, embed_layer, cfg):
                           state.step + 1), metrics
 
     return train_step
+
+
+def build_multi_step(train_step, k: int):
+    """Fuse k sequential train steps into ONE jitted dispatch.
+
+    Takes flat [k*B] batches and reshapes on device; the inner step is
+    unrolled (not lax.scan — the single-chip runtime executes scan bodies
+    with large per-iteration overhead), so one host RPC drives k steps.
+    Metrics come back summed (loss is weight-summed; divide by weight)."""
+    inner = train_step.__wrapped__ if hasattr(train_step, "__wrapped__") \
+        else train_step
+
+    @jax.jit
+    def multi_step(state: TrainState, dense_x, ids, labels, valid):
+        kb = ids.shape[0]
+        b = kb // k
+        agg = None
+        for i in range(k):
+            sl = slice(i * b, (i + 1) * b)
+            v_i = jnp.clip(valid - i * b, 0, b)
+            dx = None if dense_x is None else dense_x[sl]
+            state, m = inner(state, dx, ids[sl], labels[sl], v_i)
+            m = {**m, "loss": m["loss"] * m["weight"]}
+            agg = m if agg is None else jax.tree.map(jnp.add, agg, m)
+        # hand back the same shape of metrics a single step produces:
+        # "loss" is the weighted mean over all k sub-batches
+        agg = {**agg, "loss": agg["loss"] / jnp.maximum(agg["weight"], 1.0)}
+        return state, agg
+
+    return multi_step
 
 
 def build_eval_step(model, embed_layer):
