@@ -283,3 +283,50 @@ class TestQuantizedEvalStep:
         p_q8 = np.asarray(q8(state, jnp.asarray(dense),
                              jnp.asarray(sparse)))
         assert np.abs(p_full - p_q8).mean() < 0.01
+
+
+class TestMultiStepDispatch:
+    def test_k_steps_equal_one_dispatch(self, skewed_data):
+        """build_multi_step(k) must produce bit-equal state to k sequential
+        single steps over the same batches."""
+        from cafe_tpu.train.step import build_multi_step
+        train, _ = _split(skewed_data)
+        cfg = Config(dataset="synthetic", compress_method="cafe",
+                     compress_rate=0.01, cafe_sketch_threshold=5.0,
+                     embedding_dim=8, learning_rate=0.1)
+        model, embed, state, train_step, _ = build_all(cfg, train)
+        k = 4
+        b = 64
+        it = iter(batch_iterator(train, b, drop_last=True))
+        batches = [next(it) for _ in range(k)]
+
+        s1 = state
+        for dense, sparse, label, valid in batches:
+            s1, m1 = train_step(s1, jnp.asarray(dense), jnp.asarray(sparse),
+                                jnp.asarray(label), valid)
+
+        multi = build_multi_step(train_step, k)
+        dense_k = jnp.concatenate([jnp.asarray(x[0]) for x in batches])
+        ids_k = jnp.concatenate([jnp.asarray(x[1]) for x in batches])
+        lab_k = jnp.concatenate([jnp.asarray(x[2]) for x in batches])
+        s2, m2 = multi(state, dense_k, ids_k, lab_k,
+                       jnp.asarray(k * b, jnp.int32))
+        import jax
+        for l1, l2 in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                       rtol=1e-6, atol=1e-7)
+        assert np.isfinite(float(m2["loss"]))
+
+    def test_zero_weight_subbatch_no_nan(self, skewed_data):
+        from cafe_tpu.train.step import build_multi_step
+        train, _ = _split(skewed_data)
+        cfg = Config(dataset="synthetic", compress_method=None,
+                     embedding_dim=8, learning_rate=0.1)
+        model, embed, state, train_step, _ = build_all(cfg, train)
+        multi = build_multi_step(train_step, 4)
+        dense, sparse, label, valid = next(iter(
+            batch_iterator(train, 256, drop_last=True)))
+        # only 100 valid rows -> sub-batches 2..4 are pure padding
+        s2, m = multi(state, jnp.asarray(dense), jnp.asarray(sparse),
+                      jnp.asarray(label), jnp.asarray(100, jnp.int32))
+        assert np.isfinite(float(m["loss"]))
