@@ -150,12 +150,18 @@ def process_kdd12(in_path: str, out_dir: str) -> None:
 def main(argv=None):
     p = argparse.ArgumentParser(description="Preprocess raw CTR data.")
     p.add_argument("--dataset", required=True,
-                   choices=["criteo", "avazu", "kdd12"])
-    p.add_argument("--input", required=True)
+                   choices=["criteo", "criteotb", "avazu", "kdd12"])
+    p.add_argument("--input", required=True, nargs="+",
+                   help="input file; criteotb takes the day files in order")
     p.add_argument("--output", required=True)
     args = p.parse_args(argv)
+    if args.dataset == "criteotb":
+        process_criteotb(args.input, args.output)
+        return
+    if len(args.input) != 1:
+        p.error(f"--dataset {args.dataset} takes exactly one input file")
     {"criteo": process_criteo, "avazu": process_avazu,
-     "kdd12": process_kdd12}[args.dataset](args.input, args.output)
+     "kdd12": process_kdd12}[args.dataset](args.input[0], args.output)
 
 
 if __name__ == "__main__":
