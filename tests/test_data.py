@@ -124,3 +124,44 @@ def test_streaming_encoder(tmp_path):
     assert sparse[2].tolist() == [1, 0]
     assert dense[0, 0] == pytest.approx(np.log1p(3.0))
     assert dense[0, 1] == 0.0  # missing -> 0
+
+
+def test_preprocess_cli_criteotb_day_files(tmp_path):
+    """--dataset criteotb produces the per-day binary layout with a global
+    vocabulary, loadable by _load_criteotb's file naming."""
+    from cafe_tpu.data.preprocess import main as pp_main
+    rng = np.random.default_rng(0)
+    days = []
+    for d in range(2):
+        p = tmp_path / f"day_{d}.txt"
+        with open(p, "w") as f:
+            for _ in range(50):
+                label = str(rng.integers(0, 2))
+                dense = [str(int(rng.integers(0, 9))) for _ in range(13)]
+                cats = [format(int(rng.integers(0, 20)), "x")
+                        for _ in range(26)]
+                f.write("\t".join([label] + dense + cats) + "\n")
+        days.append(str(p))
+    out = tmp_path / "bin"
+    pp_main(["--dataset", "criteotb", "--input", *days,
+             "--output", str(out)])
+    counts = np.fromfile(out / "processed_count.bin", dtype=np.int32)
+    assert counts.shape == (26,)
+    for d in range(2):
+        sp = np.fromfile(out / f"sparse_{d}_sep.bin", dtype=np.int32)
+        assert sp.shape == (50 * 26,)
+        # global vocab: every id under its field's count
+        assert (sp.reshape(50, 26) < counts[None, :]).all()
+        assert np.fromfile(out / f"label_{d}.bin", dtype=np.int32).shape \
+            == (50,)
+        assert np.fromfile(out / f"dense_{d}.bin",
+                           dtype=np.float32).shape == (50 * 13,)
+
+
+def test_preprocess_cli_rejects_multi_input_for_single_file_sets(tmp_path):
+    from cafe_tpu.data.preprocess import main as pp_main
+    a = tmp_path / "a.txt"
+    a.write_text("0\t1\t2\n")
+    with pytest.raises(SystemExit):
+        pp_main(["--dataset", "criteo", "--input", str(a), str(a),
+                 "--output", str(tmp_path / "o")])
