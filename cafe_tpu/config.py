@@ -80,6 +80,8 @@ class Config:
     synthetic_dist: str = "zipf"
     synthetic_trace_file: str = ""     # id trace (.npy/.bin int32) for "trace"
     synthetic_shift: float = 0.0       # hot-set shift point in (0,1); 0 = off
+    synthetic_vocab_spread: float = 1.0  # smallest/largest field-vocab ratio;
+                                       # <1 gives log-spaced per-field vocabs
     # TPU-specific
     steps_per_dispatch: int = 1        # fuse K train steps into one jitted
                                        # call (amortizes host dispatch; print/

@@ -168,7 +168,8 @@ def make_synthetic_arrays(rows: int = 65536, fields: int = 8,
                           label_from_ids: bool = True,
                           dist: str = "zipf",
                           trace: np.ndarray = None,
-                          shift_at: float = 0.0) -> CTRArrays:
+                          shift_at: float = 0.0,
+                          vocab_spread: float = 1.0) -> CTRArrays:
     """Build an in-memory CTR dataset.
 
     If `label_from_ids`, labels correlate with a fixed random per-id logit so
@@ -183,24 +184,37 @@ def make_synthetic_arrays(rows: int = 65536, fields: int = 8,
     the stream: the Zipf rank->id mapping is re-drawn, so the hot set
     changes completely mid-stream (the adaptivity scenario CAFE's online
     promotion/demotion — and CAFE+'s adaptive threshold — exist for).
+
+    `vocab_spread` < 1 gives fields log-spaced vocabularies from `vocab`
+    down to `vocab * vocab_spread` — real CTR vocabularies span orders of
+    magnitude (Criteo: 3 .. 10M), and per-field spread is what MDE's
+    dimension assignment and the per-field sizing formulas exploit; equal
+    vocabs degenerate them.
     """
     rng = np.random.default_rng(seed)
-    counts = np.full(fields, vocab, dtype=np.int32)
+    if not 0.0 < vocab_spread <= 1.0:
+        raise ValueError(f"vocab_spread must be in (0, 1], got {vocab_spread}")
+    if vocab_spread < 1.0 and fields > 1:
+        ratios = vocab_spread ** (np.arange(fields) / (fields - 1))
+        counts = np.maximum((vocab * ratios).astype(np.int64), 2).astype(
+            np.int32)
+    else:
+        counts = np.full(fields, vocab, dtype=np.int32)
     if 0.0 < shift_at < 1.0 and dist != "zipf":
         raise ValueError(
             f"shift_at is only defined for dist='zipf' (got {dist!r})")
     if dist == "zipf" and 0.0 < shift_at < 1.0:
         cut = int(rows * shift_at)
         cols = [np.concatenate([
-            _zipf_ids(rng, cut, vocab, zipf, perm_seed=0),
-            _zipf_ids(rng, rows - cut, vocab, zipf, perm_seed=1)])
-            for _ in range(fields)]
+            _zipf_ids(rng, cut, int(v), zipf, perm_seed=0),
+            _zipf_ids(rng, rows - cut, int(v), zipf, perm_seed=1)])
+            for v in counts]
     elif dist == "zipf":
-        cols = [_zipf_ids(rng, rows, vocab, zipf) for _ in range(fields)]
+        cols = [_zipf_ids(rng, rows, int(v), zipf) for v in counts]
     elif dist == "uniform":
-        cols = [_uniform_ids(rng, rows, vocab) for _ in range(fields)]
+        cols = [_uniform_ids(rng, rows, int(v)) for v in counts]
     elif dist == "gaussian":
-        cols = [_gaussian_ids(rng, rows, vocab) for _ in range(fields)]
+        cols = [_gaussian_ids(rng, rows, int(v)) for v in counts]
     elif dist == "trace":
         if trace is None:
             trace = _zipf_ids(rng, min(rows, 16384), vocab, zipf)
@@ -208,10 +222,10 @@ def make_synthetic_arrays(rows: int = 65536, fields: int = 8,
         # the shared reuse-distance tables
         lines, list_sd, cumm_sd = trace_profile(trace)
         cols = []
-        for _ in range(fields):
+        for v in counts:
             out = trace_generate_lru(lines, list_sd, cumm_sd, rows, rng)
-            if out.min() < 0 or out.max() >= vocab:
-                out = out % vocab
+            if out.min() < 0 or out.max() >= int(v):
+                out = out % int(v)
             cols.append(out.astype(np.int32))
     else:
         raise ValueError(f"unknown synthetic dist {dist!r}")
@@ -221,10 +235,11 @@ def make_synthetic_arrays(rows: int = 65536, fields: int = 8,
         dense_arr = np.log1p(rng.gamma(2.0, 2.0, size=(rows, dense))
                              ).astype(np.float32)
     if label_from_ids:
-        id_logit = rng.normal(0.0, 1.0, size=(fields, vocab)).astype(np.float32)
         logits = np.zeros(rows, dtype=np.float32)
         for f in range(fields):
-            logits += id_logit[f, sparse[:, f]]
+            id_logit = rng.normal(0.0, 1.0,
+                                  size=int(counts[f])).astype(np.float32)
+            logits += id_logit[sparse[:, f]]
         logits /= np.sqrt(fields)
         p = 1.0 / (1.0 + np.exp(-logits))
         label = (rng.random(rows) < p).astype(np.int32)

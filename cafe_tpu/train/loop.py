@@ -85,7 +85,8 @@ def get_dataset(cfg: Config, phase: str):
             vocab=cfg.synthetic_vocab, dense=cfg.synthetic_dense,
             zipf=cfg.synthetic_zipf, seed=cfg.numpy_rand_seed,
             dist=getattr(cfg, "synthetic_dist", "zipf"), trace=trace,
-            shift_at=getattr(cfg, "synthetic_shift", 0.0))
+            shift_at=getattr(cfg, "synthetic_shift", 0.0),
+            vocab_spread=getattr(cfg, "synthetic_vocab_spread", 1.0))
         n = len(data)
         from ..data.datasets import CTRArrays
         cut = n * 6 // 7

@@ -242,3 +242,19 @@ def test_graphrec_driver_helpers(tmp_path):
         n_users=40, n_items=80, seed=0)
     assert len(train) == len(test) == 40
     assert all(len(t) >= 1 for t in train)
+
+
+def test_vocab_spread_varies_fields_and_mde_assigns_dims():
+    a = make_synthetic_arrays(rows=2000, fields=5, vocab=10000, dense=0,
+                              seed=0, vocab_spread=0.01)
+    counts = np.asarray(a.counts)
+    assert counts[0] == 10000 and counts[-1] == 100
+    assert (np.diff(counts) < 0).all()          # strictly decreasing
+    for f in range(5):                          # ids stay in range
+        assert a.sparse[:, f].max() < counts[f]
+    # with spread, md_solver assigns DIFFERENT dims per field
+    from cafe_tpu.embeddings import sizing
+    dims = sizing.mde_dims(counts.tolist(), 0.05, 16, False)
+    assert len(set(int(d) for d in dims)) > 1
+    # labels still learnable shape
+    assert a.label.shape == (2000,)
