@@ -146,17 +146,36 @@ class CafePart(Part):
         sk, promo = self._sk_insert(self.sketch_cfg, state["sketch"],
                                     oids.reshape(-1), scores.reshape(-1))
 
+        # compact the promotion lanes before computing migration rows: the
+        # v1 sketch reports candidates over the [B*cells] grid but a single
+        # insert can promote at most hotn-1 ids (the free-slot bound), so a
+        # cumsum scatter-compaction to [hotn] lanes is lossless and cuts the
+        # migration gather/scatter work by ~B*cells/hotn
+        L = promo.ids.shape[0]
+        cap = min(L, self.hotn)
+        if cap < L:
+            rank = jnp.cumsum(promo.mask.astype(jnp.int32)) - 1
+            pos = jnp.where(promo.mask, jnp.clip(rank, 0, cap - 1), cap)
+            p_ids = jnp.zeros(cap + 1, jnp.int32).at[pos].set(
+                promo.ids, mode="drop")[:cap]
+            p_slots = jnp.zeros(cap + 1, jnp.int32).at[pos].set(
+                promo.slots, mode="drop")[:cap]
+            p_mask = jnp.zeros(cap + 1, bool).at[pos].set(
+                promo.mask, mode="drop")[:cap]
+        else:
+            p_ids, p_slots, p_mask = promo.ids, promo.slots, promo.mask
+
         # migration BEFORE the optimizer touches the cold rows, matching the
         # reference's insert_grad-then-step ordering (main.py:376-377).
         goff = jnp.asarray(self.global_offsets, dtype=jnp.int32)
         hsz = jnp.asarray(self.hash_sizes, dtype=jnp.int32)
         hoff = jnp.asarray(self.hash_off, dtype=jnp.int32)
         pfield = jnp.clip(
-            jnp.searchsorted(goff, promo.ids, side="right") - 1,
+            jnp.searchsorted(goff, p_ids, side="right") - 1,
             0, len(self.field_idx) - 1)
-        prow = jnp.clip((promo.ids % hsz[pfield]) + hoff[pfield],
+        prow = jnp.clip((p_ids % hsz[pfield]) + hoff[pfield],
                         0, self.hash_rows - 1) + self.hash_base
-        dst = jnp.where(promo.mask, promo.slots, self.total_rows)
+        dst = jnp.where(p_mask, p_slots, self.total_rows)
         table = state["table"].at[dst].set(state["table"][prow],
                                            mode="drop")
         state = {**state, "table": table, "sketch": sk}
