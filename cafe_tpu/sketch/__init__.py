@@ -5,6 +5,9 @@ from .hotsketch import (
     sketch_query,
     sketch_insert,
     rebuild_free_list,
+    analyse,
+    analyse_tracked,
+    hot_fraction,
 )
 from .oracle import OracleSketch
 
@@ -15,5 +18,8 @@ __all__ = [
     "sketch_query",
     "sketch_insert",
     "rebuild_free_list",
+    "analyse",
+    "analyse_tracked",
+    "hot_fraction",
     "OracleSketch",
 ]

@@ -313,3 +313,20 @@ def hot_fraction(cfg: HotSketchConfig, state: HotSketchState) -> jnp.ndarray:
     (diagnostic; counts via the free stack, not the padded dic array)."""
     capacity = max(cfg.buckets - 1, 1)
     return (capacity - state.free_top) / capacity
+
+
+def analyse(cfg: HotSketchConfig, state: HotSketchState,
+            ids: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of `ids` currently HOT (holding a slot) — the reference's
+    in-training recall probe `analyse` (tricks/sketch.cpp:314-320): feed
+    it the offline ideal top-k ids and the result is sketch recall."""
+    return jnp.mean(sketch_query(cfg, state, ids) < 0)
+
+
+def analyse_tracked(cfg: HotSketchConfig, state: HotSketchState,
+                    ids: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of `ids` present in the sketch at all (hot or cold cell) —
+    the reference's `analyse1` (tricks/sketch.cpp:321-327)."""
+    h = _bucket_of(cfg, ids)
+    m = (state.cnt[h] > 0) & (state.val[h] == ids[:, None])
+    return jnp.mean(m.any(axis=1))

@@ -199,3 +199,20 @@ class TestStatisticalParity:
                                jnp.asarray(sc[perm]))
         assert np.allclose(np.asarray(st1.cnt), np.asarray(st2.cnt))
         assert (np.asarray(st1.val) == np.asarray(st2.val)).all()
+
+
+def test_analyse_recall_probes():
+    """analyse / analyse_tracked parity (tricks/sketch.cpp:314-327)."""
+    from cafe_tpu.sketch import analyse, analyse_tracked
+    from cafe_tpu.sketch.hotsketch import INVALID_ID
+    cfg = HotSketchConfig(buckets=64, threshold=3.0)
+    st = init_sketch(cfg)
+    hot_ids = np.arange(10, 20, dtype=np.int32)
+    for _ in range(4):  # accumulate past threshold -> promote
+        ids = jnp.asarray(np.concatenate([hot_ids, hot_ids]))
+        st, _ = sketch_insert(cfg, st, ids,
+                              jnp.ones(len(ids), jnp.float32))
+    assert float(analyse(cfg, st, jnp.asarray(hot_ids))) == 1.0
+    assert float(analyse_tracked(cfg, st, jnp.asarray(hot_ids))) == 1.0
+    cold = jnp.asarray(np.arange(5000, 5010, dtype=np.int32))
+    assert float(analyse(cfg, st, cold)) == 0.0
