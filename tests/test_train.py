@@ -330,3 +330,31 @@ class TestMultiStepDispatch:
         s2, m = multi(state, jnp.asarray(dense), jnp.asarray(sparse),
                       jnp.asarray(label), jnp.asarray(100, jnp.int32))
         assert np.isfinite(float(m["loss"]))
+
+
+class TestTowerLearning:
+    """WDL and DCN must actually LEARN, not just step (their gradients are
+    heavily attenuated by the reference-faithful double-sigmoid / tiny
+    cross-weight inits, so plain SGD at DLRM's lr looks flat; adagrad is
+    the sparse-appropriate optimizer)."""
+
+    @pytest.mark.parametrize("model", ["wdl", "dcn"])
+    def test_learns_with_adagrad(self, model):
+        cfg = Config(dataset="synthetic", model=model, embedding_dim=16,
+                     synthetic_rows=30000, synthetic_fields=4,
+                     synthetic_vocab=8000, synthetic_dense=4,
+                     synthetic_zipf=1.3, learning_rate=0.05,
+                     optimizer="adagrad", mini_batch_size=256,
+                     compress_method=None, test_mini_batch_size=4096)
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        test = get_dataset(cfg, "test")
+        _, _, state, ts, es = build_all(cfg, train)
+        for _ in range(3):
+            for dense, sparse, label, valid in batch_iterator(
+                    train, 256, drop_last=True):
+                state, _ = ts(state, jnp.asarray(dense),
+                              jnp.asarray(sparse), jnp.asarray(label),
+                              valid)
+        m, _ = inference(cfg, es, state, test)
+        assert m["roc_auc"] > 0.58, m["roc_auc"]
