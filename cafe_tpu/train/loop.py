@@ -106,8 +106,23 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
     scores, targets = [], []
     t_start = None
     n_timed = 0
-    for it, (dense, sparse, label, valid) in enumerate(
-            batch_iterator(test_data, cfg.test_mini_batch_size)):
+
+    def _stream():
+        if not throughput:
+            yield from batch_iterator(test_data, cfg.test_mini_batch_size)
+            return
+        # latency protocol (main.py:51-81): 10 warmup + 1014 timed batches;
+        # cycle small test sets so the protocol works at any scale
+        while True:
+            got = False
+            for b in batch_iterator(test_data, cfg.test_mini_batch_size):
+                got = True
+                yield b
+            if not got:
+                return
+
+    p = None
+    for it, (dense, sparse, label, valid) in enumerate(_stream()):
         if throughput and it == 10:
             jax.block_until_ready(state.params)
             t_start = time.time()
@@ -122,7 +137,10 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
         scores.append(np.asarray(p[:valid]))
         targets.append(label[:valid])
     if throughput:
-        jax.block_until_ready(p)
+        if p is not None:
+            jax.block_until_ready(p)
+        if t_start is None:  # empty test set: nothing to time
+            return {}, 0.0
         ms = (time.time() - t_start) * 1000.0 / max(n_timed, 1)
         return {}, ms
     scores = np.concatenate(scores)

@@ -358,3 +358,16 @@ class TestTowerLearning:
                               valid)
         m, _ = inference(cfg, es, state, test)
         assert m["roc_auc"] > 0.58, m["roc_auc"]
+
+
+def test_throughput_mode_cycles_small_test_sets(skewed_data):
+    """The latency protocol (10 warmup + 1014 timed batches) must work
+    even when the test set has fewer batches than the warmup count —
+    regression for a crash when t_start was never set."""
+    train, test = _split(skewed_data)
+    cfg = Config(dataset="synthetic", compress_method=None,
+                 embedding_dim=8, learning_rate=0.1,
+                 test_mini_batch_size=2048)  # test set => ~3 batches
+    model, embed, state, train_step, eval_step = build_all(cfg, train)
+    _, ms = inference(cfg, eval_step, state, test, throughput=True)
+    assert ms > 0.0
