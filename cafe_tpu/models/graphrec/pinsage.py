@@ -197,18 +197,26 @@ class PinSAGE:
         new_state["embed"] = embed
         return new_state, loss
 
-    def make_batch(self, sampler: RandomWalkSampler, batch: int) -> Dict:
-        """Assemble a static-shape training block for (head, pos, neg)."""
-        heads, pos, neg = sampler.pos_pairs(batch)
-        seeds = np.concatenate([heads, pos, neg])  # [3B]
+    def make_block(self, sampler: RandomWalkSampler,
+                   seeds: np.ndarray) -> Dict:
+        """Assemble a static-shape conv block for arbitrary seed items."""
         t = sampler.top_t
-        n1, w1 = sampler.sample(seeds)                  # [3B, T]
+        n1, w1 = sampler.sample(seeds)                  # [S, T]
         n2 = np.empty((len(seeds), t, t), dtype=np.int32)
         w2 = np.empty((len(seeds), t, t), dtype=np.float32)
         for j in range(t):
             nj, wj = sampler.sample(n1[:, j])
             n2[:, j] = nj
             w2[:, j] = wj
+        return self._pack_block(seeds, n1, w1, n2, w2)
+
+    def make_batch(self, sampler: RandomWalkSampler, batch: int) -> Dict:
+        """Assemble a static-shape training block for (head, pos, neg)."""
+        heads, pos, neg = sampler.pos_pairs(batch)
+        seeds = np.concatenate([heads, pos, neg])  # [3B]
+        return self.make_block(sampler, seeds)
+
+    def _pack_block(self, seeds, n1, w1, n2, w2) -> Dict:
         # unique ids referenced; positions into the gathered table. Padded
         # to a fixed capacity so the jitted step never recompiles (padding
         # repeats uniq[0]; no position references the padded lanes, so
@@ -232,3 +240,31 @@ class PinSAGE:
             "w1": jnp.asarray(w1),
             "w2": jnp.asarray(w2),
         }
+
+    def representation_step(self, state: Dict, block: Dict) -> jnp.ndarray:
+        """Item representations for a block's seeds (inference; jit me)."""
+        raw, _ = self.part.gather(state["embed"], block["ids"])
+        feats = raw[:, 0, :]
+        g = lambda idx: feats[idx]  # noqa: E731
+        return self._representation(
+            state, g(block["ego_pos"]),
+            g(block["nbr1_pos"]), block["w1"],
+            g(block["nbr2_pos"]), block["w2"])
+
+    def represent_items(self, state: Dict, sampler: RandomWalkSampler,
+                        batch: int = 256) -> np.ndarray:
+        """[n_items, D] representations of every item (evaluation.py's
+        h_item), computed in fixed-shape blocks."""
+        if not hasattr(self, "_rep_jit"):
+            import jax
+            self._rep_jit = jax.jit(self.representation_step)
+        rep_fn = self._rep_jit
+        out = np.empty((self.n_items, self.cfg.hidden_dims), np.float32)
+        for lo in range(0, self.n_items, batch):
+            ids = np.arange(lo, min(lo + batch, self.n_items),
+                            dtype=np.int32)
+            pad = batch - len(ids)
+            seeds = np.concatenate([ids, np.zeros(pad, np.int32)])
+            z = rep_fn(state, self.make_block(sampler, seeds))
+            out[lo:lo + len(ids)] = np.asarray(z)[: len(ids)]
+        return out

@@ -157,6 +157,31 @@ def run_lightgcn(args, train_pos, test_pos, n_items):
     return rec
 
 
+def pinsage_hit_ndcg(reps, train_pos, test_pos, k=10):
+    """Latest-item nearest-neighbor recommendation (PinSAGE
+    evaluation.py:52-115): seed each user with their last train item,
+    rank all items by representation dot product excluding interacted
+    ones; hit@k = any held-out item in the top-k, NDCG with binary
+    relevance (idcg = 1)."""
+    discounts = 1.0 / np.log2(np.arange(2, k + 2))
+    hits, ndcgs = [], []
+    for u in range(len(train_pos)):
+        if len(train_pos[u]) == 0 or len(test_pos[u]) == 0:
+            continue
+        seed = int(train_pos[u][-1])
+        dist = reps[seed] @ reps.T
+        dist[np.asarray(train_pos[u], dtype=int)] = -np.inf
+        kk = min(k, len(dist) - 1)
+        topk = np.argpartition(-dist, kk)[:kk]
+        topk = topk[np.argsort(-dist[topk])]
+        rel = np.isin(topk, test_pos[u])
+        hits.append(bool(rel.any()))
+        ndcgs.append(float((rel * discounts[: len(rel)]).sum()))
+    if not hits:
+        return 0.0, 0.0
+    return float(np.mean(hits)), float(np.mean(ndcgs))
+
+
 def run_pinsage(args, train_pos, test_pos, n_items):
     from cafe_tpu.models.graphrec.pinsage import (
         PinSAGE, PinSAGEConfig, RandomWalkSampler)
@@ -195,11 +220,15 @@ def run_pinsage(args, train_pos, test_pos, n_items):
             batch = model.make_batch(sampler, args.bpr_batch)
             state, loss = step(state, batch, args.lr)
             losses.append(float(loss))
+        reps = model.represent_items(state, sampler)
+        hit, nd = pinsage_hit_ndcg(reps, train_pos, test_pos, k=args.topk)
         print(f"epoch {ep}: margin_loss {np.mean(losses):.4f} "
+              f"hit@{args.topk} {hit:.4f} ndcg {nd:.4f} "
               f"({time.time() - t0:.1f}s)", flush=True)
         if args.save_dir:
             save_state(osp.join(args.save_dir, f"pinsage_epoch_{ep}.ckpt"),
-                       state, {"epoch": ep, "loss": float(np.mean(losses))})
+                       state, {"epoch": ep, "loss": float(np.mean(losses)),
+                               "hit": hit, "ndcg": nd})
     return float(np.mean(losses))
 
 
