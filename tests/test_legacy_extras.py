@@ -258,3 +258,26 @@ def test_vocab_spread_varies_fields_and_mde_assigns_dims():
     assert len(set(int(d) for d in dims)) > 1
     # labels still learnable shape
     assert a.label.shape == (2000,)
+
+
+def test_process_interactions_by_time_split(tmp_path):
+    """CSV -> gowalla train/test with per-user leave-last-out by time
+    (the reference's process_nowplaying_rs + split-by-time role)."""
+    from cafe_tpu.tools.process_interactions import process
+    p = tmp_path / "ev.csv"
+    p.write_text(
+        "user_id,item_id,created_at\n"
+        "alice,x,2020-01-03\n"     # latest -> test
+        "alice,y,2020-01-01\n"
+        "alice,z,2020-01-02\n"
+        "bob,z,2020-01-01\n"       # single-item user stays in train
+        "alice,y,2020-01-04\n")    # dup: first occurrence kept
+    out = tmp_path / "o"
+    stats = process(str(p), str(out), "user_id", "item_id", "created_at")
+    assert stats == {"users": 2, "items": 3, "train_interactions": 3,
+                     "test_interactions": 1}
+    train = (out / "train.txt").read_text().splitlines()
+    test = (out / "test.txt").read_text().splitlines()
+    # alice=0: time order y(1) z(2) x(3); x held out; ids x=0 y=1 z=2
+    assert train[0] == "0 1 2" and test[0] == "0 0"
+    assert train[1] == "1 2" and test[1] == "1"
