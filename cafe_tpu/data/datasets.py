@@ -61,6 +61,10 @@ class CTRArrays:
     label: np.ndarray  # int32 [N]
     counts: np.ndarray  # int32 [F] per-field vocabulary sizes
     index: Optional[np.ndarray] = None
+    # --max_ind_range hashing (dlrm_s_pytorch's --max-ind-range): ids are
+    # reduced modulo this at batch/stat time; 0 = off. counts must be
+    # clamped consistently by the loader.
+    mod_range: int = 0
 
     @property
     def num_sparse(self) -> int:
@@ -101,6 +105,7 @@ def _split_head_tail(a: CTRArrays, train_len: int, phase: str) -> CTRArrays:
         a.dense[sl] if a.dense is not None else None,
         a.label[sl],
         a.counts,
+        mod_range=a.mod_range,
     )
 
 
@@ -184,11 +189,23 @@ def load_dataset(name: str, data_path: str, phase: str,
                               max_ind_range, train_days=range(0, 24, 3))
     spec = DATASET_SPECS[name]
     arrays = _load_flat(data_path, spec)
+    if max_ind_range > 0:
+        # clamp vocabularies AND hash the ids; previously only the
+        # criteotb path applied the mod, so flat datasets fed raw ids into
+        # tables sized from the clamped counts
+        arrays = dataclasses.replace(
+            arrays, counts=np.minimum(arrays.counts, max_ind_range),
+            mod_range=max_ind_range)
     n = len(arrays.label)
     if name == "criteo":
         return _split_head_tail(arrays, n * 6 // 7, phase)
     if name == "avazu":
-        return _split_head_tail(arrays, n - 4218938, phase)
+        # last-day test split (load_data.py:270-291: the full Avazu's final
+        # 4,218,938 rows); proportional fallback for smaller extracts,
+        # where the hardcoded count would leave an empty train split
+        test_rows = 4218938 if n >= DATASET_SPECS["avazu"].num_sample \
+            else max(n // 10, 1)
+        return _split_head_tail(arrays, n - test_rows, phase)
     if name == "kdd12":
         rng = np.random.RandomState(2023)
         index = np.arange(n)
@@ -196,7 +213,8 @@ def load_dataset(name: str, data_path: str, phase: str,
         test_size = int(0.1 * n)
         split = index[test_size:] if phase == "train" else index[:test_size]
         return CTRArrays(arrays.sparse, arrays.dense, arrays.label,
-                         arrays.counts, index=split)
+                         arrays.counts, index=split,
+                         mod_range=arrays.mod_range)
     raise ValueError(f"unknown dataset {name}")
 
 
@@ -236,6 +254,8 @@ def batch_iterator(data: CTRArrays, batch_size: int, *,
             dense = data.dense[lo:hi] if data.dense is not None else None
             label = data.label[lo:hi]
         sparse = np.ascontiguousarray(sparse, dtype=np.int32)
+        if not multi and data.mod_range > 0:
+            sparse = sparse % data.mod_range
         label = np.asarray(label, dtype=np.float32)
         if dense is not None:
             dense = np.ascontiguousarray(dense, dtype=np.float32)
@@ -252,20 +272,38 @@ def batch_iterator(data: CTRArrays, batch_size: int, *,
 # Frequency statistics (for the `off` offline-hot baseline)
 # ---------------------------------------------------------------------------
 
+def _sparse_chunk(data: CTRArrays, lo: int, hi: int) -> np.ndarray:
+    """Rows [lo, hi) through the dataset's OWN access path: multi-day
+    stitching (criteotb), index splits (kdd12) and --max_ind_range hashing
+    all applied — raw `.sparse` slicing is wrong for those datasets."""
+    if isinstance(data, _MultiFileCTRArrays):
+        sp, _, _ = data.read_rows(lo, hi)
+        return np.asarray(sp)
+    if data.index is not None:
+        sp = np.asarray(data.sparse[data.index[lo:hi]])
+    else:
+        sp = np.asarray(data.sparse[lo:hi])
+    if data.mod_range > 0:
+        sp = sp % data.mod_range
+    return sp
+
+
 def sorted_frequency(data: CTRArrays, out_dir: str,
                      chunk: int = 4_000_000) -> None:
     """Per-field unique ids + counts, written as uni{i}.bin / cnt{i}.bin
     (reference: load_data.py:88-93). Chunked to bound memory on huge files."""
     os.makedirs(out_dir, exist_ok=True)
     f = data.num_sparse
+    counters = [np.zeros(int(data.counts[i]), dtype=np.int64)
+                for i in range(f)]
+    n = len(data)
+    for lo in range(0, n, chunk):
+        sp = _sparse_chunk(data, lo, min(lo + chunk, n))
+        for i in range(f):
+            np.add.at(counters[i], sp[:, i], 1)
     for i in range(f):
-        counter = np.zeros(int(data.counts[i]), dtype=np.int64)
-        n = len(data)
-        for lo in range(0, n, chunk):
-            col = np.asarray(data.sparse[lo:lo + chunk, i])
-            np.add.at(counter, col, 1)
-        uni = np.nonzero(counter)[0].astype(np.int32)
-        cnt = counter[uni].astype(np.int32)
+        uni = np.nonzero(counters[i])[0].astype(np.int32)
+        cnt = counters[i][uni].astype(np.int32)
         uni.tofile(osp.join(out_dir, f"uni{i}.bin"))
         cnt.tofile(osp.join(out_dir, f"cnt{i}.bin"))
 
@@ -275,9 +313,31 @@ def generate_hot_features(data: CTRArrays, data_path: str, threshold: float,
     """Offline global top-k hot dictionary per field (load_data.py:95-146):
     rank ids of all fields larger than `threshold` by frequency, keep the top
     tot*cr*(1-hash_rate) as hot with dense slot numbers, -1 otherwise."""
-    freq_dir = osp.join(data_path, "freq")
+    import json
+    import tempfile
     needed = [i for i in range(data.num_sparse) if data.counts[i] > threshold]
-    if not all(osp.exists(osp.join(freq_dir, f"uni{i}.bin")) for i in needed):
+    if data_path:
+        freq_dir = osp.join(data_path, "freq")
+        # cache is only valid for the exact same split: key on row count +
+        # vocabulary sizes (a stale cache from another dataset silently
+        # produced a wrong hot dictionary before)
+        sig = {"rows": len(data),
+               "counts": np.asarray(data.counts).tolist(),
+               "mod": int(data.mod_range)}
+        sig_path = osp.join(freq_dir, "signature.json")
+        cached = all(osp.exists(osp.join(freq_dir, f"uni{i}.bin"))
+                     for i in needed)
+        if cached and osp.exists(sig_path):
+            with open(sig_path) as f:
+                cached = json.load(f) == sig
+        else:
+            cached = False
+        if not cached:
+            sorted_frequency(data, freq_dir)
+            with open(sig_path, "w") as f:
+                json.dump(sig, f)
+    else:  # in-memory datasets (synthetic): never cache on disk
+        freq_dir = tempfile.mkdtemp(prefix="cafe_freq_")
         sorted_frequency(data, freq_dir)
     tot = 0
     all_ids, all_cnts = [], []
@@ -295,17 +355,15 @@ def generate_hot_features(data: CTRArrays, data_path: str, threshold: float,
     hot_dict = {}
     lo = 0
     offset = 0
-    slot = 0
     for i in needed:
         c = int(data.counts[i])
         cur = np.full(c, -1, dtype=np.int32)
         hi = np.searchsorted(top, offset + c)
         local = top[lo:hi] - offset
-        # Dense slot ids continue across fields, matching the reference's
-        # single shared slot counter (load_data.py:132-145 resets `tmp` per
-        # field; we keep per-field numbering identical to that behavior).
+        # PER-FIELD slot numbering (reference load_data.py:132-145 resets
+        # its counter each field) — OffPart.gather adds its own per-field
+        # hot-row offsets, so slots here must start at 0 for every field.
         cur[local] = np.arange(len(local), dtype=np.int32)
-        slot += len(local)
         hot_dict[i] = cur
         lo = hi
         offset += c

@@ -26,7 +26,7 @@ class StreamingEncoder:
     def __init__(self, num_dense: int, num_sparse: int,
                  label_col: int = 0, dense_cols: Optional[List[int]] = None,
                  sparse_cols: Optional[List[int]] = None, sep: str = "\t",
-                 clip_label: bool = False):
+                 clip_label: bool = False, skip_header: bool = False):
         self.num_dense = num_dense
         self.num_sparse = num_sparse
         self.label_col = label_col
@@ -36,10 +36,13 @@ class StreamingEncoder:
                                           1 + num_dense + num_sparse)))
         self.sep = sep
         self.clip_label = clip_label
+        self.skip_header = skip_header
         self.vocabs: List[dict] = [dict() for _ in range(num_sparse)]
 
     def collect(self, path: str) -> None:
         with open(path, "r") as f:
+            if self.skip_header:
+                next(f, None)
             for line in f:
                 cols = line.rstrip("\n").split(self.sep)
                 for j, c in enumerate(self.sparse_cols):
@@ -72,6 +75,8 @@ class StreamingEncoder:
 
         for path in paths:
             with open(path, "r") as f:
+                if self.skip_header:
+                    next(f, None)
                 for line in f:
                     cols = line.rstrip("\n").split(self.sep)
                     lab = cols[self.label_col]
@@ -132,9 +137,11 @@ def process_criteotb(day_paths: List[str], out_dir: str) -> None:
 
 
 def process_avazu(in_path: str, out_dir: str) -> None:
-    # avazu csv: id,click,hour,C1,...  -> drop id, label=click, 22 sparse
+    # avazu csv: id,click,hour,C1,... (WITH a header row) -> drop id,
+    # label=click, 22 sparse
     enc = StreamingEncoder(num_dense=0, num_sparse=22, label_col=1,
-                           sparse_cols=list(range(2, 24)), sep=",")
+                           sparse_cols=list(range(2, 24)), sep=",",
+                           skip_header=True)
     enc.collect(in_path)
     enc.encode([in_path], out_dir)
 

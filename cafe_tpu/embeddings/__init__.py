@@ -138,8 +138,13 @@ def build_embedding_layer(cfg, counts, dim: int,
         full_part(small)
         groups = {}
         for i in big:
-            groups.setdefault(int(dims[i]), []).append(i)
-        for low_dim, fields in sorted(groups.items()):
+            # also bucket by vocab magnitude (factor-4 bands): the AE
+            # decoder pads every field in a group to the group's max
+            # vocabulary, so mixing a 10M-row field with a 100k one would
+            # pay the 10M-wide one-hot for both
+            mag = int(np.log2(max(counts[i], 2)) // 2)
+            groups.setdefault((int(dims[i]), mag), []).append(i)
+        for (low_dim, _), fields in sorted(groups.items()):
             parts.append(AEGroupPart(fields, [counts[i] for i in fields],
                                      low_dim, dim, opt))
     else:

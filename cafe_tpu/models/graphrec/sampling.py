@@ -28,7 +28,8 @@ def sample_negative(user_num: int, item_num: int, train_num: int,
     for user in range(user_num):
         pos = all_pos[user]
         if len(pos) == 0:
-            pos = np.array([0], dtype=np.int32)
+            continue  # cold-start users have nothing to train on; the
+            # reference C++ sampler likewise only emits real positives
         ps = pos_sets[user]
         picks = rng.integers(0, len(pos), per_user)
         for i in range(per_user):

@@ -21,25 +21,38 @@ def export_eval_step(model, embed_layer, state, batch_size: int,
     Returns the serialized size in bytes."""
     from jax import export as jexport
 
-    def serve(dense_x, ids):
-        raws, _ = embed_layer.gather(state.embed, ids)
-        feats = embed_layer.transform(state.embed_dense, raws)
-        return model.apply(state.params, dense_x, feats)
-
-    dense_spec = jax.ShapeDtypeStruct((batch_size, num_dense), jnp.float32)
     ids_spec = jax.ShapeDtypeStruct((batch_size, num_sparse), jnp.int32)
-    exported = jexport.export(jax.jit(serve))(dense_spec, ids_spec)
+    if num_dense > 0:
+        def serve(dense_x, ids):
+            raws, _ = embed_layer.gather(state.embed, ids)
+            feats = embed_layer.transform(state.embed_dense, raws)
+            return model.apply(state.params, dense_x, feats)
+
+        dense_spec = jax.ShapeDtypeStruct((batch_size, num_dense),
+                                          jnp.float32)
+        exported = jexport.export(jax.jit(serve))(dense_spec, ids_spec)
+    else:
+        # zero-dense datasets (avazu/kdd12): the models take dense=None,
+        # and their params have no bottom tower to index
+        def serve_sparse(ids):
+            raws, _ = embed_layer.gather(state.embed, ids)
+            feats = embed_layer.transform(state.embed_dense, raws)
+            return model.apply(state.params, None, feats)
+
+        exported = jexport.export(jax.jit(serve_sparse))(ids_spec)
     blob = exported.serialize()
     with open(out_path, "wb") as f:
         f.write(blob)
     return len(blob)
 
 
-def load_and_run(path: str, dense, ids):
+def load_and_run(path: str, *args):
+    """Deserialize and invoke; pass (dense, ids) for dense models, (ids,)
+    for zero-dense ones — matching what export_eval_step serialized."""
     from jax import export as jexport
     with open(path, "rb") as f:
         exported = jexport.deserialize(f.read())
-    return exported.call(dense, ids)
+    return exported.call(*args)
 
 
 def main(argv=None):

@@ -124,7 +124,9 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
     p = None
     for it, (dense, sparse, label, valid) in enumerate(_stream()):
         if throughput and it == 10:
-            jax.block_until_ready(state.params)
+            # drain the async warmup dispatches before starting the clock
+            if p is not None:
+                jax.block_until_ready(p)
             t_start = time.time()
         dx = None if dense is None else jnp.asarray(dense)
         p = eval_step(state, dx, jnp.asarray(sparse))
@@ -185,7 +187,8 @@ def run(cfg: Config) -> Dict:
     k_disp = max(getattr(cfg, "steps_per_dispatch", 1), 1)
     if k_disp > 1:
         from .step import build_multi_step
-        train_step = build_multi_step(train_step, k_disp)
+        train_step = build_multi_step(train_step, k_disp,
+                                      donate=cfg.donate_state)
     fetch = cfg.mini_batch_size * k_disp
 
     best_acc = 0.0

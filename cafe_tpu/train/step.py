@@ -105,17 +105,19 @@ def build_train_step(model, embed_layer, cfg):
     return train_step
 
 
-def build_multi_step(train_step, k: int):
+def build_multi_step(train_step, k: int, donate: bool = False):
     """Fuse k sequential train steps into ONE jitted dispatch.
 
     Takes flat [k*B] batches and reshapes on device; the inner step is
     unrolled (not lax.scan — the single-chip runtime executes scan bodies
     with large per-iteration overhead), so one host RPC drives k steps.
-    Metrics come back summed (loss is weight-summed; divide by weight)."""
+    Metrics come back summed (loss is weight-summed; divide by weight).
+    `donate` re-applies state donation (lost when re-jitting the
+    unwrapped inner step)."""
     inner = train_step.__wrapped__ if hasattr(train_step, "__wrapped__") \
         else train_step
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def multi_step(state: TrainState, dense_x, ids, labels, valid):
         kb = ids.shape[0]
         b = kb // k
