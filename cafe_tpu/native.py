@@ -70,7 +70,8 @@ def _declare(L: ctypes.CDLL) -> None:
                              i32p]
     L.bpr_sample.restype = ctypes.c_int
     L.enc_init.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_char,
-                           ctypes.c_int, i32p, i32p, ctypes.c_int]
+                           ctypes.c_int, i32p, i32p, ctypes.c_int,
+                           ctypes.c_int]
     L.enc_collect.argtypes = [ctypes.c_char_p]
     L.enc_collect.restype = ctypes.c_longlong
     L.enc_counts.argtypes = [i32p]
@@ -88,13 +89,22 @@ def _ptr(a, ty):
 
 
 class HostSketch:
-    """Sequential host HotSketch (C++), reference-speed oracle."""
+    """Sequential host HotSketch (C++), reference-speed oracle.
+
+    The C side holds a fixed pool of 64 sketch slots (like the reference's
+    `ss[26]`, sketch.cpp:151); constructing a 65th instance raises rather
+    than silently re-initializing a live earlier sketch's slot."""
 
     _next_idx = 0
+    _MAX_SLOTS = 64
 
     def __init__(self, buckets: int, threshold: float, decay: float = 0.99,
                  cells: int = 4):
-        self.idx = HostSketch._next_idx % 64
+        if HostSketch._next_idx >= HostSketch._MAX_SLOTS:
+            raise RuntimeError(
+                f"HostSketch slot pool exhausted ({self._MAX_SLOTS} per "
+                "process); the C state is a fixed-size slot array")
+        self.idx = HostSketch._next_idx
         HostSketch._next_idx += 1
         self.buckets = buckets
         lib().hs_init(self.idx, buckets, threshold, decay, cells)
@@ -130,10 +140,15 @@ class HostSketch:
         return ids[:n], slots[:n], scores[:n]
 
     def save(self, path: str) -> None:
-        assert lib().hs_save_state(self.idx, path.encode()) == 0
+        rc = lib().hs_save_state(self.idx, path.encode())
+        if rc != 0:
+            raise IOError(f"sketch save to {path} failed (rc={rc})")
 
     def load(self, path: str) -> None:
-        assert lib().hs_load_state(self.idx, path.encode()) == 0
+        rc = lib().hs_load_state(self.idx, path.encode())
+        if rc != 0:
+            raise IOError(f"sketch load from {path} failed (rc={rc}; "
+                          "missing, truncated or corrupt state file)")
 
 
 def bpr_sample(user_num: int, item_num: int, train_num: int,
@@ -155,13 +170,25 @@ def bpr_sample(user_num: int, item_num: int, train_num: int,
 
 
 class NativeEncoder:
-    """Two-pass streaming CSV/TSV -> binary encoder (C++)."""
+    """Two-pass streaming CSV/TSV -> binary encoder (C++).
+
+    The C side is a single global encoder (the reference's singleton
+    pattern); constructing a new NativeEncoder invalidates any previous
+    instance — its methods then raise instead of silently operating on the
+    new instance's vocabularies."""
+
+    _live: Optional["NativeEncoder"] = None
 
     def __init__(self, num_dense: int, num_sparse: int, sep: str = "\t",
                  label_col: int = 0,
                  dense_cols: Optional[List[int]] = None,
                  sparse_cols: Optional[List[int]] = None,
-                 clip_label: bool = False):
+                 clip_label: bool = False, skip_header: bool = False):
+        if NativeEncoder._live is not None:
+            NativeEncoder._live._dead = True
+        NativeEncoder._live = self
+        self._dead = False
+        self.skip_header = skip_header
         self.num_dense = num_dense
         self.num_sparse = num_sparse
         dense_cols = dense_cols or list(range(1, 1 + num_dense))
@@ -172,20 +199,29 @@ class NativeEncoder:
         sc = _as_i32(sparse_cols)
         lib().enc_init(num_dense, num_sparse, sep.encode()[0], label_col,
                        _ptr(dc, ctypes.c_int32), _ptr(sc, ctypes.c_int32),
-                       int(clip_label))
+                       int(clip_label), int(skip_header))
+
+    def _check_live(self):
+        if self._dead:
+            raise RuntimeError(
+                "this NativeEncoder was invalidated by constructing a "
+                "newer one (the C encoder state is a process singleton)")
 
     def collect(self, path: str) -> int:
+        self._check_live()
         n = lib().enc_collect(path.encode())
         if n < 0:
             raise IOError(f"cannot read {path}")
         return n
 
     def counts(self) -> np.ndarray:
+        self._check_live()
         out = np.empty(self.num_sparse, dtype=np.int32)
         lib().enc_counts(_ptr(out, ctypes.c_int32))
         return out
 
     def encode(self, in_path: str, out_dir: str) -> int:
+        self._check_live()
         os.makedirs(out_dir, exist_ok=True)
         self.counts().tofile(osp.join(out_dir, "processed_count.bin"))
         n = lib().enc_encode(

@@ -49,13 +49,11 @@ def sparse_adagrad(table: jnp.ndarray, acc: jnp.ndarray, idx: jnp.ndarray,
                    grad: jnp.ndarray, lr: float, eps: float = 1e-10
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Adagrad with torch semantics: coalesce duplicates first, then
-    acc += g²  and  row -= lr * g / (sqrt(acc) + eps)."""
+    acc += g²  and  row -= lr * g / (sqrt(acc) + eps). The accumulator is
+    per-ELEMENT (acc has the table's shape — what _maybe_acc constructs)."""
     uidx, ugrad = coalesce(idx, grad, drop_sentinel=table.shape[0])
-    g2 = jnp.sum(ugrad * ugrad, axis=-1) if acc.ndim == 1 else ugrad * ugrad
-    acc = acc.at[uidx].add(g2, mode="drop")
+    acc = acc.at[uidx].add(ugrad * ugrad, mode="drop")
     std = jnp.sqrt(acc[jnp.clip(uidx, 0, acc.shape[0] - 1)]) + eps
-    if acc.ndim == 1:
-        std = std[:, None]
     table = table.at[uidx].add((-lr * ugrad / std).astype(table.dtype),
                                mode="drop")
     return table, acc

@@ -59,8 +59,7 @@ def _insert(cnt, pos, vals):
     mn = jnp.min(cur, axis=1, keepdims=True)
     target = mn + vals[:, None]
     # conservative update: raise each row's counter to at most target
-    delta = jnp.maximum(target - cur, 0.0)
-    return cnt.at[rows, pos].max(target), delta
+    return cnt.at[rows, pos].max(target)
 
 
 def cu_insert(cfg: CUSketchConfig, st: CUSketchState, ids: jnp.ndarray,
@@ -78,5 +77,4 @@ def cu_insert(cfg: CUSketchConfig, st: CUSketchState, ids: jnp.ndarray,
     tot = jax.ops.segment_sum(sval, seg, num_segments=ids.shape[0])[seg]
     use = jnp.where(head, tot, 0.0)
     pos = _positions(cfg, sid)
-    cnt, _ = _insert(st.cnt, pos, use)
-    return CUSketchState(cnt=cnt)
+    return CUSketchState(cnt=_insert(st.cnt, pos, use))

@@ -25,6 +25,7 @@ struct Encoder {
   std::vector<int> sparse_cols;
   std::vector<std::unordered_map<std::string, int32_t>> vocabs;
   bool clip_label = false;
+  bool skip_header = false;
 };
 
 Encoder* enc = nullptr;
@@ -62,7 +63,7 @@ extern "C" {
 
 void enc_init(int num_dense, int num_sparse, char sep, int label_col,
               const int32_t* dense_cols, const int32_t* sparse_cols,
-              int clip_label) {
+              int clip_label, int skip_header) {
   delete enc;
   enc = new Encoder();
   enc->num_dense = num_dense;
@@ -70,6 +71,7 @@ void enc_init(int num_dense, int num_sparse, char sep, int label_col,
   enc->sep = sep;
   enc->label_col = label_col;
   enc->clip_label = clip_label != 0;
+  enc->skip_header = skip_header != 0;
   enc->dense_cols.assign(dense_cols, dense_cols + num_dense);
   enc->sparse_cols.assign(sparse_cols, sparse_cols + num_sparse);
   enc->vocabs.assign(num_sparse, {});
@@ -83,6 +85,11 @@ long long enc_collect(const char* path) {
   size_t cap = 0;
   char* fields[kMaxFields];
   long long rows = 0;
+  if (enc->skip_header && getline(&line, &cap, f) == -1) {
+    free(line);
+    fclose(f);
+    return 0;
+  }
   while (getline(&line, &cap, f) != -1) {
     const int nf = split(line, enc->sep, fields, kMaxFields);
     for (int j = 0; j < enc->num_sparse; ++j) {
@@ -115,6 +122,9 @@ long long enc_encode(const char* in_path, const char* sparse_out,
   FILE* fl = fopen(label_out, "wb");
   if (!fs || !fl || (enc->num_dense && !fd)) {
     fclose(f);
+    if (fs) fclose(fs);
+    if (fd) fclose(fd);
+    if (fl) fclose(fl);
     return -1;
   }
   char* line = nullptr;
@@ -123,6 +133,7 @@ long long enc_encode(const char* in_path, const char* sparse_out,
   std::vector<int32_t> srow(enc->num_sparse);
   std::vector<float> drow(enc->num_dense);
   long long rows = 0;
+  if (enc->skip_header) (void)!getline(&line, &cap, f);
   while (getline(&line, &cap, f) != -1) {
     const int nf = split(line, enc->sep, fields, kMaxFields);
     const char* lv =

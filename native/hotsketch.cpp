@@ -187,18 +187,30 @@ int hs_load_state(int idx, const char* path) {
   float thr = 0.f, dr = 0.f;
   double tot = 0.0;
   int ft = 0;
-  (void)!fread(&thr, sizeof(float), 1, f);
-  (void)!fread(&dr, sizeof(float), 1, f);
-  (void)!fread(&tot, sizeof(double), 1, f);
-  (void)!fread(&ft, sizeof(int), 1, f);
+  // a truncated/short file must FAIL, not load half-initialized state
+  if (fread(&thr, sizeof(float), 1, f) != 1 ||
+      fread(&dr, sizeof(float), 1, f) != 1 ||
+      fread(&tot, sizeof(double), 1, f) != 1 ||
+      fread(&ft, sizeof(int), 1, f) != 1 ||
+      buckets <= 0 || cells <= 0 || ft < 0 || ft > buckets - 1) {
+    fclose(f);
+    return -2;
+  }
   s->init(buckets, thr, dr, cells);
   s->total = tot;
   s->free_top = ft;
-  (void)!fread(s->val.data(), sizeof(int32_t), s->val.size(), f);
-  (void)!fread(s->cnt.data(), sizeof(float), s->cnt.size(), f);
-  (void)!fread(s->dic.data(), sizeof(int32_t), s->dic.size(), f);
-  (void)!fread(s->free_slots.data(), sizeof(int32_t), s->free_slots.size(),
-               f);
+  if (fread(s->val.data(), sizeof(int32_t), s->val.size(), f) !=
+          s->val.size() ||
+      fread(s->cnt.data(), sizeof(float), s->cnt.size(), f) !=
+          s->cnt.size() ||
+      fread(s->dic.data(), sizeof(int32_t), s->dic.size(), f) !=
+          s->dic.size() ||
+      fread(s->free_slots.data(), sizeof(int32_t), s->free_slots.size(),
+            f) != s->free_slots.size()) {
+    s->init(buckets, thr, dr, cells);  // wipe the partial load
+    fclose(f);
+    return -3;
+  }
   fclose(f);
   return 0;
 }

@@ -20,21 +20,19 @@ extern "C" {
 int bpr_sample(int user_num, int item_num, int train_num,
                const int32_t* pos_items, const int64_t* pos_offsets,
                int neg_num, uint64_t seed, int32_t* out) {
+  if (user_num <= 0 || item_num <= 0) return 0;
   std::mt19937_64 rng(seed);
-  const int per_user = train_num / (user_num > 0 ? user_num : 1) > 0
-                           ? train_num / user_num
-                           : 1;
+  const int per_user = train_num / user_num > 0 ? train_num / user_num : 1;
   const int row_w = 2 + neg_num;
   int r = 0;
   for (int u = 0; u < user_num; ++u) {
     const int64_t lo = pos_offsets[u], hi = pos_offsets[u + 1];
     const int64_t npos = hi - lo;
+    if (npos == 0) continue;  // cold-start users have nothing to train on
     for (int k = 0; k < per_user; ++k) {
       int32_t* row = out + static_cast<int64_t>(r) * row_w;
       row[0] = u;
-      row[1] = npos > 0 ? pos_items[lo + static_cast<int64_t>(
-                                             rng() % npos)]
-                        : 0;
+      row[1] = pos_items[lo + static_cast<int64_t>(rng() % npos)];
       for (int j = 0; j < neg_num; ++j) {
         int32_t neg;
         bool clash;
