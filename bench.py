@@ -37,11 +37,45 @@ WARMUP = 30
 STEPS = 600
 
 
-def main():
+def make_criteo_batches(batch: int = BATCH, n_batches: int = 8):
+    """(train_data, staged device batches) at Criteo-Kaggle shapes; shared
+    by bench.py and tools/step_breakdown.py so both measure the SAME
+    workload."""
     import jax
     import jax.numpy as jnp
-    from cafe_tpu.config import Config
     from cafe_tpu.data.datasets import CTRArrays
+
+    counts = np.asarray(CRITEO_COUNTS, dtype=np.int64)
+    rng = np.random.default_rng(0)
+    rows = batch * n_batches
+    # Zipf-ish skew (u^4 concentrates mass at low ranks), then a true
+    # bijective scatter (odd prime multiplier mod n) so hot ids are spread
+    # over the id space like label-encoded data — a contiguous hot prefix
+    # would give the gathers unrealistically good HBM locality
+    sparse = np.empty((rows, len(counts)), dtype=np.int32)
+    for f, n in enumerate(counts):
+        u = rng.random(rows) ** 4.0
+        ranks = (u * n).astype(np.int64) % n
+        sparse[:, f] = (ranks * 1000000007) % n
+    dense = np.log1p(rng.gamma(2.0, 2.0, (rows, 13))).astype(np.float32)
+    label = rng.integers(0, 2, rows).astype(np.float32)
+    train_data = CTRArrays(sparse, dense, label, counts.astype(np.int32))
+
+    batches = []
+    for b in range(n_batches):
+        lo = b * batch
+        batches.append((
+            jax.device_put(jnp.asarray(dense[lo:lo + batch])),
+            jax.device_put(jnp.asarray(sparse[lo:lo + batch])),
+            jax.device_put(jnp.asarray(label[lo:lo + batch])),
+            jnp.asarray(batch, jnp.int32),
+        ))
+    return train_data, batches
+
+
+def main():
+    import jax
+    from cafe_tpu.config import Config
     from cafe_tpu.train.loop import build_all
 
     cfg = Config(
@@ -55,38 +89,15 @@ def main():
         # async in-place aliasing XLA already finds, forcing synchronous
         # buffer rotation. Leave it off for the headline number.
     )
-    counts = np.asarray(CRITEO_COUNTS, dtype=np.int64)
-
-    rng = np.random.default_rng(0)
-    rows = BATCH * 8
-    # Zipf-ish skewed ids per field (cheap approximation: squared uniforms
-    # concentrate mass at low ids, then scattered by a fixed permutation)
-    sparse = np.empty((rows, len(counts)), dtype=np.int32)
-    for f, n in enumerate(counts):
-        u = rng.random(rows) ** 4.0
-        sparse[:, f] = (u * n).astype(np.int64) % n
-    dense = np.log1p(rng.gamma(2.0, 2.0, (rows, 13))).astype(np.float32)
-    label = rng.integers(0, 2, rows).astype(np.float32)
-    train_data = CTRArrays(sparse, dense, label,
-                           counts.astype(np.int32))
-
+    train_data, batches = make_criteo_batches()
     model, embed, state, train_step, _ = build_all(cfg, train_data)
 
-    # Pre-stage batches on device; steps chain through the state dependency
-    # so blocking on the final loss waits for the whole pipeline. (A
-    # lax.scan-of-steps variant exists but the current experimental single
-    # -chip runtime executes loop bodies with per-iteration overhead ~100x
-    # the step itself; the async dispatch loop measures true device
-    # throughput — verified linear in step count out to 1200 steps.)
-    batches = []
-    for b in range(rows // BATCH):
-        lo = b * BATCH
-        batches.append((
-            jax.device_put(jnp.asarray(dense[lo:lo + BATCH])),
-            jax.device_put(jnp.asarray(sparse[lo:lo + BATCH])),
-            jax.device_put(jnp.asarray(label[lo:lo + BATCH])),
-            jnp.asarray(BATCH, jnp.int32),
-        ))
+    # Steps chain through the state dependency so blocking on the final
+    # loss waits for the whole pipeline. (A lax.scan-of-steps variant
+    # exists but the current experimental single-chip runtime executes
+    # loop bodies with per-iteration overhead ~100x the step itself; the
+    # async dispatch loop measures true device throughput — verified
+    # linear in step count out to 1200 steps.)
 
     for i in range(WARMUP):
         d, s, l, v = batches[i % len(batches)]

@@ -55,6 +55,11 @@ def load_tasks(config_file: str,
         if diff != "compress_rate" and len(flags) > 1:
             raise AssertionError(
                 "Not support more than 1 difference besides compress_rate!")
+        lens = {k: len(v) for k, v in flags.items()}
+        if len(set(lens.values())) > 1:
+            raise ValueError(
+                f"paired knob lists in section {met!r} have mismatched "
+                f"lengths {lens}; zip would silently drop grid points")
         for vs in zip(*flags.values()):
             cur = dict(new_task)
             for k, v in zip(keys, vs):
@@ -110,7 +115,9 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     codes = schedule(args.configs, args.workers, args.cpu)
-    sys.exit(max(codes) if codes else 0)
+    # signal deaths have NEGATIVE returncodes (e.g. -9 for OOM-kill);
+    # max() would report success for them
+    sys.exit(max((abs(c) for c in codes), default=0))
 
 
 if __name__ == "__main__":

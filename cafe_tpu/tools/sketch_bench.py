@@ -46,13 +46,16 @@ def run_recall(stream, vocab, buckets, threshold, cells, batch):
                                  sketch_insert)
     cfg = HotSketchConfig(buckets=buckets, threshold=threshold, cells=cells)
     st = init_sketch(cfg)
+    inserted = 0
     for lo in range(0, len(stream), batch):
         chunk = stream[lo:lo + batch]
         if len(chunk) < batch:
-            break
+            break  # fixed-shape inserts; the tail is excluded from the
+            # oracle below so the sketch is only judged on what it saw
         st, _ = sketch_insert(cfg, st, jnp.asarray(chunk),
                               jnp.ones(batch, jnp.float32))
-    counts = np.bincount(stream, minlength=vocab)
+        inserted = lo + batch
+    counts = np.bincount(stream[:inserted], minlength=vocab)
     hot = hot_set(st)
     ideal = set(np.argsort(-counts)[: max(len(hot), 1)].tolist())
     return len(ideal & hot) / max(len(ideal), 1), len(hot)
@@ -65,8 +68,11 @@ def run_throughput(stream, buckets, threshold, batch):
                                  sketch_insert, sketch_query)
     cfg = HotSketchConfig(buckets=buckets, threshold=threshold)
     st = init_sketch(cfg)
-    chunks = [jnp.asarray(stream[lo:lo + batch])
-              for lo in range(0, batch * 50, batch)]
+    n_chunks = min(50, len(stream) // batch)
+    if n_chunks == 0:
+        return 0.0, 0.0
+    chunks = [jnp.asarray(stream[lo * batch:(lo + 1) * batch])
+              for lo in range(n_chunks)]
     ones = jnp.ones(batch, jnp.float32)
     for c in chunks[:5]:
         st, _ = sketch_insert(cfg, st, c, ones)
@@ -96,11 +102,12 @@ def run_drift(stream, vocab, buckets, threshold, batch, window):
     cfg = HotSketchConfig(buckets=buckets, threshold=threshold)
     st = init_sketch(cfg)
     points = []
+    stride = max(len(stream) // 5 // batch, 1) * batch
     for lo in range(0, len(stream) - batch, batch):
         chunk = stream[lo:lo + batch]
         st, _ = sketch_insert(cfg, st, jnp.asarray(chunk),
                               jnp.ones(batch, jnp.float32))
-        if lo and lo % (len(stream) // 5 // batch * batch) == 0:
+        if lo and lo % stride == 0:
             hot = hot_set(st)
             k = max(len(hot), 1)
             wslice = stream[max(0, lo - window):lo + batch]

@@ -19,11 +19,19 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 def timed(fn, state, batches, steps=300, warmup=20):
     import jax
+
+    def sync(out):
+        # block on the LAST leaf (the step's computed output — metrics or
+        # predictions), NOT leaves[0], which for a fwd-only fn is the
+        # passed-through input state and is already ready; blocking on it
+        # would stop the clock while the async dispatches still run
+        jax.block_until_ready(jax.tree.leaves(out)[-1])
+
     for i in range(warmup):
         d, s, l, v = batches[i % len(batches)]
         out = fn(state, d, s, l, v)
         state = out[0] if isinstance(out, tuple) else state
-    jax.block_until_ready(jax.tree.leaves(out)[0])
+    sync(out)
     t0 = time.time()
     st = state
     for i in range(steps):
@@ -31,38 +39,16 @@ def timed(fn, state, batches, steps=300, warmup=20):
         out = fn(st, d, s, l, v)
         if isinstance(out, tuple):
             st = out[0]
-    jax.block_until_ready(jax.tree.leaves(out)[0])
+    sync(out)
     return (time.time() - t0) / steps * 1e6  # us/step
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
     from cafe_tpu.config import Config
-    from cafe_tpu.data.datasets import CTRArrays
     from cafe_tpu.train.loop import build_all
-    from bench import CRITEO_COUNTS, BATCH
+    from bench import BATCH, make_criteo_batches
 
-    counts = np.asarray(CRITEO_COUNTS, dtype=np.int64)
-    rng = np.random.default_rng(0)
-    rows = BATCH * 8
-    sparse = np.empty((rows, len(counts)), dtype=np.int32)
-    for f, n in enumerate(counts):
-        u = rng.random(rows) ** 4.0
-        sparse[:, f] = (u * n).astype(np.int64) % n
-    dense = np.log1p(rng.gamma(2.0, 2.0, (rows, 13))).astype(np.float32)
-    label = rng.integers(0, 2, rows).astype(np.float32)
-    train_data = CTRArrays(sparse, dense, label, counts.astype(np.int32))
-
-    batches = []
-    for b in range(rows // BATCH):
-        lo = b * BATCH
-        batches.append((
-            jax.device_put(jnp.asarray(dense[lo:lo + BATCH])),
-            jax.device_put(jnp.asarray(sparse[lo:lo + BATCH])),
-            jax.device_put(jnp.asarray(label[lo:lo + BATCH])),
-            jnp.asarray(BATCH, jnp.int32),
-        ))
+    train_data, batches = make_criteo_batches()
 
     results = {}
     for name, method, cr in [("cafe", "cafe", 0.001),

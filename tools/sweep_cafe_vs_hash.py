@@ -2,7 +2,12 @@
 hashing shows at unit-test scale (for tests/test_train.py)."""
 import dataclasses
 import itertools
+import os.path as osp
 import sys
+
+# run as `python tools/sweep_cafe_vs_hash.py`; do NOT use PYTHONPATH —
+# the TPU tunnel plugin fails to register if it is set
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import numpy as np
 import jax.numpy as jnp
