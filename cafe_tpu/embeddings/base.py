@@ -99,9 +99,11 @@ class HashedTablePart(Part):
     otherwise it is the reference HashEmbeddingBag (hash_embedding_bag.py:17).
 
     `weighted` implements the legacy v_W_l weighted pooling
-    (dlrm_s_pytorch.py:343-354, 622-625): a per-row scalar weight, init 1,
-    multiplies the looked-up vector; "learned" trains it with the same
-    sparse optimizer, "fixed" keeps it constant.
+    (dlrm_s_pytorch.py:343-354, 622-625): a per-RAW-ID scalar weight
+    (v_W_l spans the full vocabulary and is gathered by the raw index
+    BEFORE any hashing), init 1, multiplies the looked-up vector;
+    "learned" trains it with the same sparse optimizer, "fixed" keeps it
+    constant.
     """
 
     def __init__(self, field_idx, counts, real_ns, dim, optimizer="sgd",
@@ -115,16 +117,24 @@ class HashedTablePart(Part):
         self.weighted = weighted
         self.np_offsets = _offsets(self.real_ns)
         self.rows = int(sum(self.real_ns))
+        # raw-id keyed weight table (full vocab, like the reference's
+        # torch.ones(n) per field)
+        self.w_offsets = _offsets(self.counts)
+        self.w_rows = int(sum(self.counts))
 
     def init(self, rng):
         scales = [np.sqrt(1.0 / max(n, 5)) for n in self.counts]
         state = {"table": jnp.asarray(
             _uniform_init(rng, self.real_ns, scales, self.dim))}
         if self.weighted:
-            state["w"] = jnp.ones((round_up(self.rows), 1), jnp.float32)
+            state["w"] = jnp.ones((round_up(self.w_rows), 1), jnp.float32)
             if self.weighted == "learned":
                 state = self._maybe_acc(state, "w")
         return self._maybe_acc(state, "table")
+
+    def _w_index(self, ids):
+        woff = jnp.asarray(self.w_offsets, dtype=jnp.int32)
+        return ids + woff[None, :]
 
     def gather(self, state, ids):
         real = jnp.asarray(self.real_ns, dtype=jnp.int32)
@@ -132,7 +142,7 @@ class HashedTablePart(Part):
         flat = (ids % real[None, :]) + off[None, :]
         rows = state["table"][flat]
         if self.weighted:
-            rows = rows * state["w"][flat]
+            rows = rows * state["w"][self._w_index(ids)]
         return rows, flat
 
     def apply_grads(self, state, ids, g_raw, aux, lr):
@@ -140,12 +150,13 @@ class HashedTablePart(Part):
         flat = aux.reshape(b * f)
         g = g_raw.reshape(b * f, d)
         if self.weighted:
-            # raw = table[i] * w[i]: chain rule through both factors
+            # raw = table[hash(i)] * w[i]: chain rule through both factors
+            widx = self._w_index(ids).reshape(b * f)
             rows = state["table"][flat]
-            g_table = g * state["w"][flat]
+            g_table = g * state["w"][widx]
             if self.weighted == "learned":
                 g_w = jnp.sum(g * rows, axis=-1, keepdims=True)
-                state = self._table_update(state, "w", flat, g_w, lr)
+                state = self._table_update(state, "w", widx, g_w, lr)
             state = self._table_update(state, "table", flat, g_table, lr)
             return state, {}
         state = self._table_update(state, "table", flat, g, lr)
@@ -277,7 +288,11 @@ class MDEGroupPart(Part):
 class OffPart(Part):
     """Offline hot/cold fields (off_embedding_bag.py:33-50): a precomputed
     frequency-ranked hot dictionary routes ids to dedicated hot rows or a
-    shared hash of cold rows."""
+    shared hash of cold rows. A field whose global frequency ranking left
+    it no cold budget (num_cold <= 0) serves its non-hot ids from the HOT
+    table by modulo — the reference's weight_cold=None branch
+    (off_embedding_bag.py:36-49) — rather than aliasing them all to one
+    padding row."""
 
     def __init__(self, field_idx, counts, hot_dicts, num_colds, dim,
                  optimizer="sgd"):
@@ -287,6 +302,7 @@ class OffPart(Part):
         self.optimizer = optimizer
         self.num_hots = [int((hd >= 0).sum()) for hd in hot_dicts]
         self.num_colds = [max(int(c), 0) for c in num_colds]
+        self.hot_fallback = [c <= 0 for c in self.num_colds]
         self.hot_off = _offsets([max(h, 1) for h in self.num_hots])
         self.cold_off = _offsets([max(c, 1) for c in self.num_colds])
         self.dict_off = _offsets(self.counts)
@@ -315,20 +331,26 @@ class OffPart(Part):
         coff = jnp.asarray(self.cold_off, dtype=jnp.int32)
         ncold = jnp.asarray([max(c, 1) for c in self.num_colds],
                             dtype=jnp.int32)
+        nhot = jnp.asarray([max(h, 1) for h in self.num_hots],
+                           dtype=jnp.int32)
+        fb = jnp.asarray(self.hot_fallback, dtype=bool)
         hd = state["hot_dict"][ids + doff[None, :]]
         is_hot = hd >= 0
-        hrow = jnp.clip(hd, 0) + hoff[None, :]
+        # non-hot ids of a fallback field route into the hot table
+        use_hot = is_hot | fb[None, :]
+        hrow = jnp.where(is_hot, jnp.clip(hd, 0),
+                         ids % nhot[None, :]) + hoff[None, :]
         crow = (ids % ncold[None, :]) + coff[None, :]
-        rows = jnp.where(is_hot[..., None], state["hot"][hrow],
+        rows = jnp.where(use_hot[..., None], state["hot"][hrow],
                          state["cold"][crow])
-        return rows, (hrow, crow, is_hot)
+        return rows, (hrow, crow, use_hot)
 
     def apply_grads(self, state, ids, g_raw, aux, lr):
-        hrow, crow, is_hot = aux
+        hrow, crow, use_hot = aux
         b, f, d = g_raw.shape
         g = g_raw.reshape(b * f, d)
-        hi = jnp.where(is_hot, hrow, state["hot"].shape[0]).reshape(-1)
-        ci = jnp.where(is_hot, state["cold"].shape[0], crow).reshape(-1)
+        hi = jnp.where(use_hot, hrow, state["hot"].shape[0]).reshape(-1)
+        ci = jnp.where(use_hot, state["cold"].shape[0], crow).reshape(-1)
         state = self._table_update(state, "hot", hi, g, lr)
         state = self._table_update(state, "cold", ci, g, lr)
         return state, {}
@@ -369,18 +391,32 @@ class EmbeddingLayer:
 
     def apply_grads(self, state: Dict, ids: jnp.ndarray, g_raws: Dict,
                     auxs: Dict, lr: float):
-        stats = {}
+        # multiple parts can emit the same stat keys (one CafePart per
+        # field under --cafe_hot_separate_field); combine rather than
+        # letting the last part silently overwrite: counts sum, fractions
+        # average over the parts that reported them
+        collected: Dict[str, list] = {}
         new_state = {}
         for i, p in enumerate(self.parts):
             cols = ids[:, np.asarray(p.field_idx)]
             s, st = p.apply_grads(state[f"part{i}"], cols,
                                   g_raws[f"part{i}"], auxs[f"part{i}"], lr)
             new_state[f"part{i}"] = s
-            stats.update(st)
+            for k, v in st.items():
+                collected.setdefault(k, []).append(v)
+        stats = {}
+        for k, vs in collected.items():
+            if len(vs) == 1:
+                stats[k] = vs[0]
+            elif k.endswith("_frac"):
+                stats[k] = sum(vs) / len(vs)
+            else:
+                stats[k] = sum(vs)
         return new_state, stats
 
     def memory_rows(self) -> int:
-        """Total embedding rows across all parts (for compress-rate audits)."""
+        """Total embedding-table rows across all parts (compress-rate
+        audits; note MDE/AE rows have reduced dims)."""
         rows = 0
         for p in self.parts:
             if isinstance(p, HashedTablePart):
@@ -389,4 +425,10 @@ class EmbeddingLayer:
                 rows += sum(p.q_rows) + sum(p.r_rows)
             elif isinstance(p, OffPart):
                 rows += p.hot_rows + p.cold_rows
+            elif hasattr(p, "total_rows"):      # CafePart unified table
+                rows += p.total_rows
+            elif hasattr(p, "hotn"):            # AdaPart global pool
+                rows += p.hotn + 1
+            elif hasattr(p, "counts"):          # MDE/AE reduced-dim tables
+                rows += sum(p.counts)
         return rows

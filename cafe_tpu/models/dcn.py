@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .mlp import apply_mlp, init_mlp
 
@@ -38,10 +39,15 @@ class DCN:
         ]
         k_last, k_top = keys[-2], keys[-1]
         last_in = self.input_dim + 256
+        # torch nn.Linear default init (the reference leaves last_layer at
+        # it, models.py:108): U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both
+        # weight and bias
+        bound = 1.0 / float(np.sqrt(last_in))
+        kw, kb = jax.random.split(k_last)
         last = {
-            "w": jax.random.normal(k_last, (last_in, 1), jnp.float32)
-            * jnp.sqrt(2.0 / (last_in + 1)),
-            "b": jnp.zeros((1,), jnp.float32),
+            "w": jax.random.uniform(kw, (last_in, 1), jnp.float32,
+                                    -bound, bound),
+            "b": jax.random.uniform(kb, (1,), jnp.float32, -bound, bound),
         }
         return {"top": init_mlp(k_top, self.ln_top), "cross": cross,
                 "last": last}

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .mlp import apply_mlp, init_mlp
 
@@ -26,12 +27,18 @@ class WDL:
         self.compute_dtype = compute_dtype
 
     def init(self, key):
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
+        # reference re-inits the wide WEIGHT to normal(0, 1e-4)
+        # (models.py:81) but leaves the bias at torch's nn.Linear default
+        # U(-1/sqrt(fan_in), 1/sqrt(fan_in))
         wide_w = jax.random.normal(k1, (self.input_dim, 1),
                                    jnp.float32) * 1e-4
+        bound = 1.0 / float(np.sqrt(self.input_dim))
+        wide_b = jax.random.uniform(k3, (1,), jnp.float32,
+                                    -bound, bound)
         return {
             "top": init_mlp(k2, self.ln_top),
-            "wide": {"w": wide_w, "b": jnp.zeros((1,), jnp.float32)},
+            "wide": {"w": wide_w, "b": wide_b},
         }
 
     def apply(self, params, dense, feats):

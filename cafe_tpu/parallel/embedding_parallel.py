@@ -86,16 +86,24 @@ def sharded_scatter_add(mesh: Mesh, table: jnp.ndarray, ids: jnp.ndarray,
                      out_specs=P("data", None))(table, ids, updates)
 
 
+_composite_cache: dict = {}
+
+
 def sharded_embedding_lookup_and_update(mesh: Mesh, table, ids, grads_fn,
                                         lr: float):
     """Demonstration composite: lookup -> caller computes row grads from
     the returned rows -> owner-compute SGD apply. Returns (rows, new_table)
-    through one jitted region."""
+    through one jitted region. The jitted closure is memoized per
+    (mesh, grads_fn, lr) — a fresh @jax.jit per call would recompile
+    every invocation."""
+    key = (id(mesh), id(grads_fn), lr)
+    run = _composite_cache.get(key)
+    if run is None:
+        @jax.jit
+        def run(tbl, ids_):
+            rows = sharded_gather(mesh, tbl, ids_)
+            g = grads_fn(rows)
+            return rows, sharded_scatter_add(mesh, tbl, ids_, -lr * g)
 
-    @jax.jit
-    def run(tbl, ids_):
-        rows = sharded_gather(mesh, tbl, ids_)
-        g = grads_fn(rows)
-        return rows, sharded_scatter_add(mesh, tbl, ids_, -lr * g)
-
+        _composite_cache[key] = run
     return run(table, ids)

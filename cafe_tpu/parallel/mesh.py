@@ -19,5 +19,9 @@ from jax.sharding import Mesh
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devs)} devices are available")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), axis_names=("data",))

@@ -189,7 +189,7 @@ def build_quantized_eval_step(model, embed_layer, state: TrainState,
             rows = dequantize_rows(qtables[f"part{i}"], flat.reshape(-1))
             rows = rows.reshape(b, f, -1)
             if getattr(p, "weighted", ""):
-                rows = rows * st.embed[f"part{i}"]["w"][flat]
+                rows = rows * st.embed[f"part{i}"]["w"][p._w_index(cols)]
             feats.append(rows)
         feats = jnp.concatenate(feats, axis=1)[:, embed_layer._perm]
         return model.apply(st.params, dense_x, feats)

@@ -277,3 +277,28 @@ class TestCafeVariants:
         raws, auxs = layer.gather(state, ids)
         _, _, _, is_hot = auxs["part0"]
         assert bool(np.asarray(is_hot).all())
+
+
+def test_offpart_zero_cold_falls_back_to_hot_table():
+    """A field with no cold budget serves non-hot ids from the hot table
+    by modulo (reference off_embedding_bag.py:36-49 weight_cold=None),
+    instead of aliasing every cold id to one padding row."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cafe_tpu.embeddings.base import OffPart
+    hd = np.full(20, -1, np.int32)
+    hd[3] = 0
+    hd[7] = 1  # two hot ids
+    part = OffPart([0], [20], [hd], [0], 4)  # num_cold = 0 -> fallback
+    st = part.init(np.random.default_rng(0))
+    ids = jnp.asarray([[3], [7], [4], [6]])  # hot, hot, cold, cold
+    rows, aux = part.gather(st, ids)
+    hot = np.asarray(st.hot)[: 2] if hasattr(st, "hot") else \
+        np.asarray(st["hot"])[:2]
+    np.testing.assert_allclose(np.asarray(rows[0, 0]), hot[0])
+    np.testing.assert_allclose(np.asarray(rows[1, 0]), hot[1])
+    # cold ids 4 and 6 -> hot rows 4%2=0 and 6%2=0 of the hot table
+    np.testing.assert_allclose(np.asarray(rows[2, 0]), hot[0])
+    np.testing.assert_allclose(np.asarray(rows[3, 0]), hot[0])
+    # and they are NOT all the single zero padding row
+    assert np.abs(np.asarray(rows)).sum() > 0

@@ -178,20 +178,25 @@ class TestLrSchedule:
         import jax.numpy as jnp
         from cafe_tpu.train.lr_schedule import lr_policy
         base = 1.0
-        # warmup ramps linearly
+        # torch's scheduler sees _step_count = step+1: the FIRST step
+        # trains at base/warm (never 0) — dlrm_s_pytorch.py:184-188
         assert float(lr_policy(base, jnp.asarray(0), 10, 100, 50)) == \
-            pytest.approx(0.0)
-        assert float(lr_policy(base, jnp.asarray(5), 10, 100, 50)) == \
+            pytest.approx(0.1)
+        assert float(lr_policy(base, jnp.asarray(4), 10, 100, 50)) == \
             pytest.approx(0.5)
-        # plateau at base
+        # plateau holds the LAST warmup value base*(warm-1)/warm, not
+        # base (the reference's last_lr freeze, :199-203)
         assert float(lr_policy(base, jnp.asarray(50), 10, 100, 50)) == \
-            pytest.approx(1.0)
-        # quadratic decay
-        assert float(lr_policy(base, jnp.asarray(125), 10, 100, 50)) == \
+            pytest.approx(0.9)
+        # quadratic decay: step 124 -> s1=125, decayed=25, (25/50)^2
+        assert float(lr_policy(base, jnp.asarray(124), 10, 100, 50)) == \
             pytest.approx(0.25)
         # frozen after decay end
         after = float(lr_policy(base, jnp.asarray(200), 10, 100, 50))
         assert after == pytest.approx((1 / 50) ** 2, rel=1e-3)
+        # no decay configured: plateau is base itself ("do not adjust")
+        assert float(lr_policy(base, jnp.asarray(50), 10, 100, 0)) == \
+            pytest.approx(1.0)
 
     def test_scheduled_training_runs(self, skewed_data):
         train, test = _split(skewed_data)
