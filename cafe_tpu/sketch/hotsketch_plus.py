@@ -134,6 +134,18 @@ _alloc = alloc_slots
 _push = push_slots
 
 
+def analyse_plus(cfg: CafePlusConfig, st: "CafePlusState",
+                 ids: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of `ids` currently HOT in either tier — the CAFE+
+    in-training recall probe (tricks/sketch.cpp:314-320's `analyse` on the
+    two-tier sketch). Note on `batch_insert_start` (PinSAGE/sketch.cpp:
+    438-440): the reference resets a per-backward dedup map so each
+    distinct id inserts once per step; the batched insert here sorts and
+    segment-sums duplicates within the batch, which is the same dedup
+    performed implicitly — no separate call exists or is needed."""
+    return jnp.mean(sketch_query_plus(cfg, st, ids) < 0)
+
+
 def _main_tier_insert(cfg, val1, cnt1, dic1, free, free_top,
                       ids, counts, dics, mask):
     """Batched analogue of sketch.cpp:232-259 `Insert`: place (id, count,
