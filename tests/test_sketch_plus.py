@@ -247,3 +247,17 @@ def test_pallas_gather_honors_tile():
     ids = jnp.asarray(rng.integers(0, 512, 256).astype(np.int32))
     out = pallas_gather(table, ids, tile=128, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]))
+
+
+def test_analyse_plus_probe():
+    from cafe_tpu.sketch.hotsketch_plus import analyse_plus
+    cfg = CafePlusConfig(lim=64, threshold=3.0, adjust_threshold=False)
+    st = init_sketch_plus(cfg)
+    hot = np.arange(5, 15, dtype=np.int32)
+    for _ in range(4):
+        ids, sc = pad_ids(np.concatenate([hot, hot]),
+                          np.ones(20), 20)
+        st, _ = sketch_insert_plus(cfg, st, ids, sc)
+    assert float(analyse_plus(cfg, st, jnp.asarray(hot))) == 1.0
+    cold = jnp.asarray(np.arange(900, 910, dtype=np.int32))
+    assert float(analyse_plus(cfg, st, cold)) == 0.0
