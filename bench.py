@@ -34,7 +34,8 @@ BASELINE_EXAMPLES_PER_S = 145_000.0
 
 BATCH = 2048
 WARMUP = 30
-STEPS = 600
+STEPS = 200
+WINDOWS = 5  # median-of-5 windows: the tunnel runtime is +-25% noisy
 
 
 def make_criteo_batches(batch: int = BATCH, n_batches: int = 8):
@@ -104,19 +105,27 @@ def main():
         state, metrics = train_step(state, d, s, l, v)
     jax.block_until_ready(metrics["loss"])
 
-    t0 = time.time()
-    for i in range(STEPS):
-        d, s, l, v = batches[i % len(batches)]
-        state, metrics = train_step(state, d, s, l, v)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.time() - t0
+    # the remote-tunnel runtime shows +-25% window-to-window variance, so
+    # a single pass over-reports by sampling a good window; measure K
+    # windows and report the MEDIAN, with the spread attached
+    rates = []
+    for _ in range(WINDOWS):
+        t0 = time.time()
+        for i in range(STEPS):
+            d, s, l, v = batches[i % len(batches)]
+            state, metrics = train_step(state, d, s, l, v)
+        jax.block_until_ready(metrics["loss"])
+        rates.append(BATCH * STEPS / (time.time() - t0))
 
-    examples_per_s = BATCH * STEPS / dt
+    examples_per_s = float(np.median(rates))
     print(json.dumps({
         "metric": "dlrm_cafe_train_examples_per_s",
         "value": round(examples_per_s, 1),
         "unit": "examples/s/chip",
         "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 3),
+        "window_min": round(min(rates), 1),
+        "window_max": round(max(rates), 1),
+        "windows": WINDOWS,
     }))
 
 

@@ -232,14 +232,22 @@ def num_batches(data: CTRArrays, batch_size: int) -> int:
 
 def batch_iterator(data: CTRArrays, batch_size: int, *,
                    drop_last: bool = False,
-                   start_batch: int = 0) -> Iterator[Batch]:
+                   start_batch: int = 0,
+                   start_row: int = 0) -> Iterator[Batch]:
     """Yield fixed-shape batches; the final partial batch is padded (rows
-    repeated from the batch head) and reports its true `valid` count."""
+    repeated from the batch head) and reports its true `valid` count.
+
+    `start_row` offsets the whole stream by that many rows (exact-batch
+    checkpoint resume with steps_per_dispatch > 1 needs sub-batch_size
+    granularity); `start_batch` additionally skips whole batches."""
     n = len(data)
-    nb = n // batch_size if drop_last else num_batches(data, batch_size)
+    base = start_row
+    rem = max(n - base, 0)
+    nb = rem // batch_size if drop_last else \
+        (rem + batch_size - 1) // batch_size
     multi = isinstance(data, _MultiFileCTRArrays)
     for b in range(start_batch, nb):
-        lo = b * batch_size
+        lo = base + b * batch_size
         hi = min(lo + batch_size, n)
         valid = hi - lo
         if multi:
@@ -336,17 +344,26 @@ def generate_hot_features(data: CTRArrays, data_path: str, threshold: float,
             sorted_frequency(data, freq_dir)
             with open(sig_path, "w") as f:
                 json.dump(sig, f)
+        tmp_dir = None
     else:  # in-memory datasets (synthetic): never cache on disk
-        freq_dir = tempfile.mkdtemp(prefix="cafe_freq_")
+        tmp_dir = tempfile.mkdtemp(prefix="cafe_freq_")
+        freq_dir = tmp_dir
         sorted_frequency(data, freq_dir)
     tot = 0
     all_ids, all_cnts = [], []
-    for i in needed:
-        uni = np.fromfile(osp.join(freq_dir, f"uni{i}.bin"), dtype=np.int32)
-        cnt = np.fromfile(osp.join(freq_dir, f"cnt{i}.bin"), dtype=np.int32)
-        all_ids.append(uni.astype(np.int64) + tot)
-        all_cnts.append(cnt)
-        tot += int(data.counts[i])
+    try:
+        for i in needed:
+            uni = np.fromfile(osp.join(freq_dir, f"uni{i}.bin"),
+                              dtype=np.int32)
+            cnt = np.fromfile(osp.join(freq_dir, f"cnt{i}.bin"),
+                              dtype=np.int32)
+            all_ids.append(uni.astype(np.int64) + tot)
+            all_cnts.append(cnt)
+            tot += int(data.counts[i])
+    finally:
+        if tmp_dir is not None:  # don't leak the per-run temp freq dir
+            import shutil
+            shutil.rmtree(tmp_dir, ignore_errors=True)
     ids = np.concatenate(all_ids)
     cnts = np.concatenate(all_cnts)
     hot_nums = int(tot * compress_rate * (1.0 - hash_rate))

@@ -99,6 +99,18 @@ class AdaPart(Part):
             lambda s: self._check(s, sub), lambda s: s, st)
         return st, {"ada_admitted": (st["dic"] > 0).sum()}
 
+    def quantize_for_serving(self, state: Dict, bits: int) -> Dict:
+        # row 0 (not-admitted) is all-zero and dequantizes to exactly zero
+        return {"weight": self._quantize(state["weight"], bits)}
+
+    def gather_quantized(self, state: Dict, qt: Dict, ids: jnp.ndarray):
+        from ..ops.quantized import dequantize_rows
+        b, f = ids.shape
+        off = jnp.asarray(self.np_offsets, dtype=jnp.int32)
+        rows = state["dic"][ids + off[None, :]]
+        return dequantize_rows(qt["weight"], rows.reshape(-1)).reshape(
+            b, f, -1)
+
     # -- policy -------------------------------------------------------
     def _check(self, state: Dict, key) -> Dict:
         """Sampled churn estimate (init_embed.py:276-287)."""
@@ -139,15 +151,25 @@ class AdaPart(Part):
             order = jnp.argsort(~mask, stable=True)  # True lanes first
             return values[order], order
 
-        evict_slots, evict_pos = packed(evict, state["dic"])
         _, admit_pos = packed(admit, state["dic"])
-        n_evict = evict.sum()
         n_admit = admit.sum()
+        # slot source: the ACTUAL free-slot set after eviction — slots
+        # {1..hotn} minus those still held by kept ids. (The previous
+        # evicted-slots-then-lane+1 fallback could hand an already-assigned
+        # slot to a second feature when n_admit > n_evict on a non-initial
+        # rebuild.) |free| = hotn - |keep| >= |admit| always, since the
+        # top-k has at most hotn lanes.
+        keep = new_hot & old_hot
+        wpad = state["weight"].shape[0]  # >= hotn + 1
+        used = jnp.zeros((wpad,), bool).at[
+            jnp.where(keep, state["dic"], 0)].set(True, mode="drop")
+        slot_idx = jnp.arange(wpad, dtype=jnp.int32)
+        free_mask = (slot_idx >= 1) & (slot_idx <= self.hotn) & ~used
+        free_slots = slot_idx[jnp.argsort(~free_mask, stable=True)]
+        n_free = free_mask.sum()
         lane = jnp.arange(np_pad)
-        # slot source: evicted slots first; if none (initial fill) use 1..hotn
-        slots = jnp.where(lane < n_evict, evict_slots,
-                          jnp.minimum(lane + 1, self.hotn).astype(jnp.int32))
-        write = lane < n_admit
+        slots = free_slots[jnp.clip(lane, 0, wpad - 1)]
+        write = lane < jnp.minimum(n_admit, n_free)
         dic = state["dic"].at[jnp.where(write, admit_pos, np_pad)].set(
             slots, mode="drop")
         dic = jnp.where(evict, 0, dic)

@@ -85,6 +85,21 @@ class AEGroupPart(Part):
     def apply_grads(self, state, ids, g_raw, aux, lr):
         return state, {}  # frozen after pretraining
 
+    def quantize_for_serving(self, state: Dict, bits: int) -> Dict:
+        return {"table": self._quantize(state["table"], bits)}
+
+    def gather_quantized(self, state: Dict, qt: Dict, ids: jnp.ndarray):
+        from ..ops.quantized import dequantize_rows
+        b, f = ids.shape
+        off = jnp.asarray(self.np_offsets, dtype=jnp.int32)
+        flat = ids + off[None, :]
+        low = dequantize_rows(qt["table"], flat.reshape(-1)).reshape(
+            b, f, -1)
+        if self.low_dim == self.dim:
+            return low
+        return jnp.einsum("bfd,fde->bfe", low, state["proj_w"]) \
+            + state["proj_b"][None]
+
     # ---- pretraining ------------------------------------------------
     def pretrain_step(self, state: Dict, ids: jnp.ndarray) -> Dict:
         """One AE reconstruction step (autoencoder.py:441-465): per field,

@@ -76,6 +76,25 @@ class Part:
     def apply_grads(self, state, ids, g_raw, aux, lr: float):
         raise NotImplementedError
 
+    # --- quantized serving (legacy --quantize-emb-with-bit capability,
+    # dlrm_s_pytorch.py:628-659, 759-777 — table-type-agnostic there) ----
+    def quantize_for_serving(self, state: Dict, bits: int) -> Dict:
+        """Quantize this part's float row tables once for inference.
+        Returns a dict of QuantizedTables keyed like the state entries."""
+        raise NotImplementedError
+
+    def gather_quantized(self, state: Dict, qt: Dict, ids: jnp.ndarray):
+        """Forward lookup against quantized tables; routing/bookkeeping
+        state (sketches, dicts) stays full precision. Returns `raw` in the
+        same shape `gather` produces (transform applies afterwards)."""
+        raise NotImplementedError
+
+    def _quantize(self, table: jnp.ndarray, bits: int):
+        from ..ops.quantized import quantize_rowwise
+        if bits == 4 and table.shape[1] % 2:
+            bits = 8  # int4 packs code pairs; odd-dim tables serve at 8-bit
+        return quantize_rowwise(table, bits)
+
     # --- shared sparse-update helper ---------------------------------
     def _table_update(self, state: Dict, key: str, idx: jnp.ndarray,
                       grad: jnp.ndarray, lr: float) -> Dict:
@@ -162,6 +181,21 @@ class HashedTablePart(Part):
         state = self._table_update(state, "table", flat, g, lr)
         return state, {}
 
+    def quantize_for_serving(self, state, bits):
+        return {"table": self._quantize(state["table"], bits)}
+
+    def gather_quantized(self, state, qt, ids):
+        from ..ops.quantized import dequantize_rows
+        b, f = ids.shape
+        real = jnp.asarray(self.real_ns, dtype=jnp.int32)
+        off = jnp.asarray(self.np_offsets, dtype=jnp.int32)
+        flat = (ids % real[None, :]) + off[None, :]
+        rows = dequantize_rows(qt["table"], flat.reshape(-1)).reshape(
+            b, f, -1)
+        if self.weighted:
+            rows = rows * state["w"][self._w_index(ids)]
+        return rows
+
 
 class QRPart(Part):
     """Quotient-remainder fields (qr_embedding_bag.py:60-77): the feature
@@ -235,6 +269,22 @@ class QRPart(Part):
         state = self._table_update(state, "r", ri, gr, lr)
         return state, {}
 
+    def quantize_for_serving(self, state, bits):
+        return {"q": self._quantize(state["q"], bits),
+                "r": self._quantize(state["r"], bits)}
+
+    def gather_quantized(self, state, qt, ids):
+        from ..ops.quantized import dequantize_rows
+        b, f = ids.shape
+        qi, ri = self._rows(ids)
+        qv = dequantize_rows(qt["q"], qi.reshape(-1)).reshape(b, f, -1)
+        rv = dequantize_rows(qt["r"], ri.reshape(-1)).reshape(b, f, -1)
+        if self.operation == "add":
+            return qv + rv
+        if self.operation == "mult":
+            return qv * rv
+        return jnp.concatenate([qv, rv], axis=-1)
+
 
 class MDEGroupPart(Part):
     """Mixed-dimension fields sharing one reduced dim `d` (md_embedding_bag.py:
@@ -283,6 +333,19 @@ class MDEGroupPart(Part):
         state = self._table_update(state, "table", aux.reshape(b * f),
                                    g_raw.reshape(b * f, d), lr)
         return state, {}
+
+    def quantize_for_serving(self, state, bits):
+        return {"table": self._quantize(state["table"], bits)}
+
+    def gather_quantized(self, state, qt, ids):
+        from ..ops.quantized import dequantize_rows
+        b, f = ids.shape
+        off = jnp.asarray(self.np_offsets, dtype=jnp.int32)
+        flat = ids + off[None, :]
+        # low-dim raw; the MDE projection (a dense f32 param) applies in
+        # transform exactly as in the float path
+        return dequantize_rows(qt["table"], flat.reshape(-1)).reshape(
+            b, f, -1)
 
 
 class OffPart(Part):
@@ -354,6 +417,18 @@ class OffPart(Part):
         state = self._table_update(state, "hot", hi, g, lr)
         state = self._table_update(state, "cold", ci, g, lr)
         return state, {}
+
+    def quantize_for_serving(self, state, bits):
+        return {"hot": self._quantize(state["hot"], bits),
+                "cold": self._quantize(state["cold"], bits)}
+
+    def gather_quantized(self, state, qt, ids):
+        from ..ops.quantized import dequantize_rows
+        b, f = ids.shape
+        _, (hrow, crow, use_hot) = self.gather(state, ids)
+        hv = dequantize_rows(qt["hot"], hrow.reshape(-1)).reshape(b, f, -1)
+        cv = dequantize_rows(qt["cold"], crow.reshape(-1)).reshape(b, f, -1)
+        return jnp.where(use_hot[..., None], hv, cv)
 
 
 class EmbeddingLayer:

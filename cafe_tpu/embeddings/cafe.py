@@ -190,6 +190,22 @@ class CafePart(Part):
         }
         return state, stats
 
+    def quantize_for_serving(self, state: Dict, bits: int) -> Dict:
+        return {"table": self._quantize(state["table"], bits)}
+
+    def gather_quantized(self, state: Dict, qt: Dict, ids: jnp.ndarray):
+        """Same sketch routing as gather; row fetch dequantizes on-chip.
+        The sketch (int/bookkeeping state) stays full precision."""
+        from ..ops.quantized import dequantize_rows
+        b, f = ids.shape
+        oids = self._oids(ids)
+        q = self._sk_query(self.sketch_cfg, state["sketch"],
+                           oids.reshape(-1)).reshape(b, f)
+        is_hot = q < 0
+        row, _ = self._rows(oids, is_hot, jnp.where(is_hot, -q, 0))
+        return dequantize_rows(qt["table"], row.reshape(-1)).reshape(
+            b, f, -1)
+
     def on_load(self, state: Dict) -> Dict:
         """Post-checkpoint-restore hook. Full sketch state is checkpointed
         (CAFE+ behavior, PinSAGE/sketch.cpp:333-402) so nothing to rebuild;

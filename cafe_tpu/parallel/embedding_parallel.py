@@ -95,15 +95,18 @@ def sharded_embedding_lookup_and_update(mesh: Mesh, table, ids, grads_fn,
     the returned rows -> owner-compute SGD apply. Returns (rows, new_table)
     through one jitted region. The jitted closure is memoized per
     (mesh, grads_fn, lr) — a fresh @jax.jit per call would recompile
-    every invocation."""
+    every invocation. The cache entry holds strong references to the mesh
+    and grads_fn so their id()s cannot be recycled onto a stale closure."""
     key = (id(mesh), id(grads_fn), lr)
-    run = _composite_cache.get(key)
-    if run is None:
+    entry = _composite_cache.get(key)
+    if entry is not None and entry[0] is mesh and entry[1] is grads_fn:
+        run = entry[2]
+    else:
         @jax.jit
         def run(tbl, ids_):
             rows = sharded_gather(mesh, tbl, ids_)
             g = grads_fn(rows)
             return rows, sharded_scatter_add(mesh, tbl, ids_, -lr * g)
 
-        _composite_cache[key] = run
+        _composite_cache[key] = (mesh, grads_fn, run)
     return run(table, ids)

@@ -222,9 +222,11 @@ def _reset(cfg: CafePlusConfig, st: CafePlusState) -> CafePlusState:
         jnp.where(got_s, slot_s, 0))
     dic_all = jnp.where(promote, new_dic_sorted, dic_all)
 
-    # new threshold = count at the cut position (sketch.cpp:112)
+    # new threshold = count at the cut position: the reference takes
+    # vec[l-lim].first, i.e. the HIGHEST demoted count sorted_cnt[cut-1]
+    # (sketch.cpp:112)
     sorted_cnt = jnp.sort(key)
-    thr = jnp.where(cut > 0, sorted_cnt[jnp.clip(cut, 0, m - 1)],
+    thr = jnp.where(cut > 0, sorted_cnt[jnp.clip(cut - 1, 0, m - 1)],
                     st.threshold)
     n1e = st.cnt1.size
     return st._replace(

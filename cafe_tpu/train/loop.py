@@ -248,18 +248,22 @@ def run(cfg: Config) -> Dict:
     train_ms = 0.0
     from ..data.loader import device_prefetch
     for ep in range(skip_epoch, cfg.nepochs):
-        start_b = (skip_batch // k_disp) if ep == skip_epoch else 0
+        # exact-batch resume: offset the stream by skip_batch ROWS so the
+        # first dispatch continues precisely where the checkpoint stopped —
+        # no replayed sub-batches when steps_per_dispatch > 1 and no
+        # dependence on the saving run's dispatch width
+        base_it = skip_batch if ep == skip_epoch else 0
         batches = device_prefetch(
-            batch_iterator(train_data, fetch, start_batch=start_b))
-        for it, (dense, sparse, label, valid) in enumerate(
-                batches, start=start_b):
-            if cfg.enable_profiling and it == start_b + 10:
+            batch_iterator(train_data, fetch,
+                           start_row=base_it * cfg.mini_batch_size))
+        for i, (dense, sparse, label, valid) in enumerate(batches):
+            if cfg.enable_profiling and i == 10:
                 jax.profiler.start_trace(
                     osp.join(cfg.tensor_board_filename, "profile"))
             dx = None if dense is None else jnp.asarray(dense)
             state, m = train_step(state, dx, jnp.asarray(sparse),
                                   jnp.asarray(label), valid)
-            if cfg.enable_profiling and it == start_b + 10 + cfg.profile_steps:
+            if cfg.enable_profiling and i == 10 + cfg.profile_steps:
                 jax.block_until_ready(m["loss"])
                 jax.profiler.stop_trace()
                 print(f"profile written to "
@@ -268,7 +272,7 @@ def run(cfg: Config) -> Dict:
             total_samp += valid
             total_iter += k_disp
 
-            eff_it = min((it + 1) * k_disp, nbatches)
+            eff_it = min(base_it + (i + 1) * k_disp, nbatches)
             should_print = (eff_it % cfg.print_freq < k_disp) \
                 or (eff_it == nbatches) \
                 or (eff_it <= 100 and not cfg.test_throughput)

@@ -130,8 +130,12 @@ def build_multi_step(train_step, k: int, donate: bool = False):
             m = {**m, "loss": m["loss"] * m["weight"]}
             agg = m if agg is None else jax.tree.map(jnp.add, agg, m)
         # hand back the same shape of metrics a single step produces:
-        # "loss" is the weighted mean over all k sub-batches
+        # "loss" is the weighted mean over all k sub-batches, and
+        # fraction-style diagnostics (*_frac) average instead of summing
+        # (mirroring EmbeddingLayer.apply_grads' convention)
         agg = {**agg, "loss": agg["loss"] / jnp.maximum(agg["weight"], 1.0)}
+        agg = {name: (v / k if name.endswith("_frac") else v)
+               for name, v in agg.items()}
         return state, agg
 
     return multi_step
@@ -150,47 +154,25 @@ def build_eval_step(model, embed_layer):
 def build_quantized_eval_step(model, embed_layer, state: TrainState,
                               bits: int):
     """Row-wise int4/int8 embedding serving (legacy capability,
-    dlrm_s_pytorch.py:628-659). Tables of HashedTableParts and CafeParts
-    are quantized once; lookups gather codes + (scale, zero) and
-    dequantize on-chip. CAFE's sketch routing stays full-precision (it is
-    int/bookkeeping state); only the embedding rows are compressed."""
-    from ..embeddings.base import HashedTablePart
-    from ..embeddings.cafe import CafePart
-    from ..ops.quantized import dequantize_rows, quantize_rowwise
+    dlrm_s_pytorch.py:628-659, table-type-agnostic like the reference's
+    :759-777). Each part quantizes its float row tables once; lookups
+    gather codes + (scale, zero) and dequantize on-chip. Routing state
+    (sketches, hot dicts, Ada's dic) stays full precision; MDE/AE
+    projections apply in f32 via the part's transform."""
     import numpy as np
 
-    qtables = {}
-    for i, p in enumerate(embed_layer.parts):
-        if not isinstance(p, (HashedTablePart, CafePart)):
-            raise NotImplementedError(
-                "quantized inference currently serves full/hash/cafe "
-                f"tables (got {type(p).__name__})")
-        qtables[f"part{i}"] = quantize_rowwise(
-            state.embed[f"part{i}"]["table"], bits)
+    qtables = {f"part{i}": p.quantize_for_serving(
+        state.embed[f"part{i}"], bits)
+        for i, p in enumerate(embed_layer.parts)}
 
     @jax.jit
     def eval_step(st: TrainState, dense_x, ids):
         feats = []
         for i, p in enumerate(embed_layer.parts):
             cols = ids[:, np.asarray(p.field_idx)]
-            b, f = cols.shape
-            if isinstance(p, CafePart):
-                # same routing as CafePart.gather, dequantized row fetch
-                oids = p._oids(cols)
-                q = p._sk_query(p.sketch_cfg,
-                                st.embed[f"part{i}"]["sketch"],
-                                oids.reshape(-1)).reshape(b, f)
-                is_hot = q < 0
-                flat, _ = p._rows(oids, is_hot, jnp.where(is_hot, -q, 0))
-            else:
-                real = jnp.asarray(p.real_ns, dtype=jnp.int32)
-                off = jnp.asarray(p.np_offsets, dtype=jnp.int32)
-                flat = (cols % real[None, :]) + off[None, :]
-            rows = dequantize_rows(qtables[f"part{i}"], flat.reshape(-1))
-            rows = rows.reshape(b, f, -1)
-            if getattr(p, "weighted", ""):
-                rows = rows * st.embed[f"part{i}"]["w"][p._w_index(cols)]
-            feats.append(rows)
+            raw = p.gather_quantized(st.embed[f"part{i}"],
+                                     qtables[f"part{i}"], cols)
+            feats.append(p.transform(st.embed_dense[f"part{i}"], raw))
         feats = jnp.concatenate(feats, axis=1)[:, embed_layer._perm]
         return model.apply(st.params, dense_x, feats)
 

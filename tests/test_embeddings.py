@@ -302,3 +302,63 @@ def test_offpart_zero_cold_falls_back_to_hot_table():
     np.testing.assert_allclose(np.asarray(rows[3, 0]), hot[0])
     # and they are NOT all the single zero padding row
     assert np.abs(np.asarray(rows)).sum() > 0
+
+
+class TestAdaRebuild:
+    """Slot-accounting invariants of AdaPart._rebuild (the reference's
+    ada_rebuild, init_embed.py:253-274)."""
+
+    def _part_and_state(self, hotn=50, n=1000):
+        import numpy as np
+        from cafe_tpu.embeddings.ada import AdaPart
+        part = AdaPart([0], [n], hotn, dim=4)
+        state = part.init(np.random.default_rng(0))
+        return part, state
+
+    @staticmethod
+    def _assert_unique_slots(dic, hotn):
+        import numpy as np
+        slots = np.asarray(dic)
+        live = slots[slots != 0]
+        assert (live >= 1).all() and (live <= hotn).all()
+        assert len(np.unique(live)) == len(live), \
+            "two features share a hot slot"
+
+    def test_admit_exceeds_evict_no_slot_collision(self):
+        """Regression: a non-initial rebuild with n_admit > n_evict used a
+        lane+1 fallback that could hand out already-assigned slots."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        part, state = self._part_and_state(hotn=50, n=1000)
+        # pre-assign 30 ids to ARBITRARY slots not equal to 1..30 (so the
+        # old fallback's lane+1 slots collide with them)
+        dic = np.zeros(state["dic"].shape[0], np.int32)
+        pre_slots = np.arange(21, 51, dtype=np.int32)  # slots 21..50
+        dic[:30] = pre_slots
+        gn = np.asarray(state["grad_norm"]).copy()
+        gn[:30] = 100.0           # kept hot
+        gn[100:120] = 50.0        # 20 admits, 0 evicts
+        state = {**state, "dic": jnp.asarray(dic),
+                 "grad_norm": jnp.asarray(gn)}
+        out = jax.jit(part._rebuild)(state)
+        self._assert_unique_slots(out["dic"], part.hotn)
+        d = np.asarray(out["dic"])
+        assert (d[:30] == pre_slots).all()      # kept ids keep their slots
+        assert (d[100:120] != 0).all()          # all 20 admitted
+
+    def test_rebuild_chain_keeps_uniqueness(self):
+        """Three rebuilds with churn: slots stay unique throughout."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        part, state = self._part_and_state(hotn=32, n=400)
+        rng = np.random.default_rng(3)
+        rebuild = jax.jit(part._rebuild)
+        for _ in range(3):
+            gn = np.zeros(state["grad_norm"].shape[0], np.float32)
+            gn[: 400] = rng.random(400).astype(np.float32)
+            state = {**state, "grad_norm": jnp.asarray(gn)}
+            state = rebuild(state)
+            self._assert_unique_slots(state["dic"], part.hotn)
+            assert int((np.asarray(state["dic"]) != 0).sum()) == part.hotn

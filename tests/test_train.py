@@ -243,11 +243,17 @@ class TestQuantizedInference:
 
 
 class TestQuantizedEvalStep:
-    def test_quantized_predictions_close(self, skewed_data):
+    @pytest.mark.parametrize("method,cr", [
+        ("hash", 0.1), ("qr", 0.1), ("mde", 0.1), ("off", 0.1),
+        ("ada", 0.5), ("full", 1.0),
+    ])
+    def test_quantized_predictions_close(self, skewed_data, method, cr):
+        """int8 serving is table-type-agnostic, like the reference's
+        quantized EmbeddingBag path (dlrm_s_pytorch.py:759-777)."""
         from cafe_tpu.train.step import build_quantized_eval_step
         train, test = _split(skewed_data)
-        cfg = Config(dataset="synthetic", compress_method="hash",
-                     compress_rate=0.1, embedding_dim=8, learning_rate=0.1)
+        cfg = Config(dataset="synthetic", compress_method=method,
+                     compress_rate=cr, embedding_dim=8, learning_rate=0.1)
         model, embed, state, train_step, eval_step = build_all(cfg, train)
         for i, (dense, sparse, label, valid) in enumerate(
                 batch_iterator(train, 256, drop_last=True)):
@@ -321,6 +327,65 @@ class TestMultiStepDispatch:
             np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                        rtol=1e-6, atol=1e-7)
         assert np.isfinite(float(m2["loss"]))
+        # fraction-style diagnostics stay fractions after k-step summing
+        assert 0.0 <= float(m2["cafe_hot_frac"]) <= 1.0
+
+    def test_resume_mid_dispatch_exact(self, tmp_path, skewed_data):
+        """Checkpoint at an iter that is NOT a multiple of the resuming
+        run's steps_per_dispatch, resume with k=4 via start_row, and land
+        bit-equal with an uninterrupted single-step run (the old
+        skip_batch // k rounding replayed up to k-1 batches)."""
+        from cafe_tpu.train.step import build_multi_step
+        train, _ = _split(skewed_data)
+        cfg = Config(dataset="synthetic", compress_method="cafe",
+                     compress_rate=0.01, cafe_sketch_threshold=5.0,
+                     embedding_dim=8, learning_rate=0.1)
+        model, embed, state, train_step, _ = build_all(cfg, train)
+        b, k, stop, total = 64, 4, 11, 27
+        # uninterrupted reference: `total` single steps
+        s_ref = state
+        it = batch_iterator(train, b, drop_last=True)
+        for i, (dense, sparse, label, valid) in enumerate(it):
+            if i == total:
+                break
+            s_ref, _ = train_step(s_ref, jnp.asarray(dense),
+                                  jnp.asarray(sparse), jnp.asarray(label),
+                                  valid)
+        # interrupted run: stop after 11 steps (not a multiple of 4), save
+        s = state
+        it = batch_iterator(train, b, drop_last=True)
+        for i, (dense, sparse, label, valid) in enumerate(it):
+            if i == stop:
+                break
+            s, _ = train_step(s, jnp.asarray(dense), jnp.asarray(sparse),
+                              jnp.asarray(label), valid)
+        path = str(tmp_path / "mid")
+        save_checkpoint(path, s, {"test_acc": 0.0, "epoch": 0, "iter": stop})
+        _, _, fresh, _, _ = build_all(cfg, train)
+        s2, extra = load_checkpoint(path, fresh)
+        # resume with k=4 dispatches offset by start_row = iter * b
+        multi = build_multi_step(train_step, k)
+        it = batch_iterator(train, k * b, start_row=extra["iter"] * b,
+                            drop_last=True)
+        done = stop
+        for dense, sparse, label, valid in it:
+            if done + k > total:
+                break
+            s2, _ = multi(s2, jnp.asarray(dense), jnp.asarray(sparse),
+                          jnp.asarray(label), jnp.asarray(valid, jnp.int32))
+            done += k
+        # drain the ragged tail (total - done < k) with single steps
+        it = batch_iterator(train, b, start_row=done * b, drop_last=True)
+        for dense, sparse, label, valid in it:
+            if done == total:
+                break
+            s2, _ = train_step(s2, jnp.asarray(dense), jnp.asarray(sparse),
+                               jnp.asarray(label), valid)
+            done += 1
+        import jax
+        for l1, l2 in zip(jax.tree.leaves(s_ref), jax.tree.leaves(s2)):
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                       rtol=1e-6, atol=1e-7)
 
     def test_zero_weight_subbatch_no_nan(self, skewed_data):
         from cafe_tpu.train.step import build_multi_step
