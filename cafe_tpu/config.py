@@ -91,6 +91,12 @@ class Config:
                                        # state is invalid after each step)
     mesh_shape: Optional[int] = None   # number of devices for the data axis; None = all
     shard_embeddings: bool = False     # row-shard tables + sketch over the mesh
+    shard_exchange: str = "explicit"   # explicit: shard_map dedup+AG/psum-scatter
+                                       #   exchange with SHARD-LOCAL sketch
+                                       #   (O(batch) traffic, HLO-verified)
+                                       # auto: XLA SPMD partitioner derives the
+                                       #   collectives (always bit-equal to the
+                                       #   single-device step)
     bf16: bool = False                 # bfloat16 matmuls in the dense towers
     # profiling (reference --enable-profiling, dlrm_s_pytorch.py:1576-1777)
     enable_profiling: bool = False

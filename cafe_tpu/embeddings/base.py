@@ -35,6 +35,10 @@ from ..ops.sparse import sparse_adagrad, sparse_sgd
 # is not expressible with NamedSharding). Padding rows are never indexed.
 ROW_ALIGN = 512
 
+# tables smaller than this stay replicated even under the explicit
+# exchange — the collective round-trip costs more than it saves
+_MIN_SHARD_ROWS = 1024
+
 
 def round_up(n: int, align: int = ROW_ALIGN) -> int:
     return ((max(n, 1) + align - 1) // align) * align
@@ -60,6 +64,10 @@ def _offsets(rows_per_field: Sequence[int]) -> np.ndarray:
 
 class Part:
     field_idx: List[int]
+    # set by EmbeddingLayer.set_mesh: when not None, gather/apply_grads use
+    # the explicit shard_map exchange (parallel/exchange.py) instead of
+    # plain indexing — row-sharded tables, O(batch) collectives
+    mesh = None
 
     def init(self, rng: np.random.Generator) -> Dict:
         raise NotImplementedError
@@ -75,6 +83,12 @@ class Part:
 
     def apply_grads(self, state, ids, g_raw, aux, lr: float):
         raise NotImplementedError
+
+    def enable_mesh(self, mesh) -> bool:
+        """Opt this part into the explicit shard_map exchange. Default:
+        stay replicated/auto-partitioned (small tables are cheaper to
+        replicate than to exchange). Must be called before init()."""
+        return False
 
     # --- quantized serving (legacy --quantize-emb-with-bit capability,
     # dlrm_s_pytorch.py:628-659, 759-777 — table-type-agnostic there) ----
@@ -141,6 +155,14 @@ class HashedTablePart(Part):
         self.w_offsets = _offsets(self.counts)
         self.w_rows = int(sum(self.counts))
 
+    def enable_mesh(self, mesh) -> bool:
+        n = int(mesh.devices.size)
+        rows_pad = round_up(self.rows)
+        if rows_pad % n or rows_pad < max(n, _MIN_SHARD_ROWS):
+            return False
+        self.mesh = mesh
+        return True
+
     def init(self, rng):
         scales = [np.sqrt(1.0 / max(n, 5)) for n in self.counts]
         state = {"table": jnp.asarray(
@@ -159,27 +181,60 @@ class HashedTablePart(Part):
         real = jnp.asarray(self.real_ns, dtype=jnp.int32)
         off = jnp.asarray(self.np_offsets, dtype=jnp.int32)
         flat = (ids % real[None, :]) + off[None, :]
-        rows = state["table"][flat]
+        if self.mesh is not None:
+            from ..parallel.exchange import sharded_fetch
+            rows = sharded_fetch(self.mesh, state["table"], flat)
+        else:
+            rows = state["table"][flat]
         if self.weighted:
+            # w is [vocab, 1] and stays replicated in sharded mode (its
+            # lookup/update are cheap; XLA handles replicated access).
+            # "learned" needs the pre-weight rows again in apply_grads;
+            # carry them in aux so the sharded path pays ONE exchange.
+            pre = rows
             rows = rows * state["w"][self._w_index(ids)]
+            if self.weighted == "learned":
+                return rows, (flat, pre)
         return rows, flat
 
     def apply_grads(self, state, ids, g_raw, aux, lr):
         b, f, d = g_raw.shape
-        flat = aux.reshape(b * f)
-        g = g_raw.reshape(b * f, d)
         if self.weighted:
             # raw = table[hash(i)] * w[i]: chain rule through both factors
+            if self.weighted == "learned":
+                flat2d, pre = aux
+                rows = pre.reshape(b * f, d)
+            else:
+                flat2d = aux
             widx = self._w_index(ids).reshape(b * f)
-            rows = state["table"][flat]
+            g = g_raw.reshape(b * f, d)
             g_table = g * state["w"][widx]
             if self.weighted == "learned":
                 g_w = jnp.sum(g * rows, axis=-1, keepdims=True)
                 state = self._table_update(state, "w", widx, g_w, lr)
-            state = self._table_update(state, "table", flat, g_table, lr)
+            state = self._table_update_maybe_sharded(
+                state, "table", flat2d, g_table.reshape(b, f, d), lr)
             return state, {}
-        state = self._table_update(state, "table", flat, g, lr)
+        state = self._table_update_maybe_sharded(state, "table", aux,
+                                                 g_raw, lr)
         return state, {}
+
+    def _table_update_maybe_sharded(self, state, key, idx2d, g3d, lr):
+        """Route the table update through the explicit exchange when a
+        mesh is set; fall back to the direct scatter otherwise."""
+        if self.mesh is None:
+            b, f, d = g3d.shape
+            return self._table_update(state, key, idx2d.reshape(b * f),
+                                      g3d.reshape(b * f, d), lr)
+        from ..parallel.exchange import sharded_apply
+        acc = state.get(key + "_acc") if self.optimizer == "adagrad" \
+            else None
+        table, acc = sharded_apply(self.mesh, state[key], acc, idx2d, g3d,
+                                   lr, self.optimizer)
+        out = {**state, key: table}
+        if acc is not None:
+            out[key + "_acc"] = acc
+        return out
 
     def quantize_for_serving(self, state, bits):
         return {"table": self._quantize(state["table"], bits)}
@@ -443,6 +498,15 @@ class EmbeddingLayer:
         self.dim = dim
         order = np.concatenate([p.field_idx for p in parts]).astype(np.int64)
         self._perm = np.argsort(order)
+
+    def set_mesh(self, mesh) -> List[str]:
+        """Activate the explicit SPMD exchange (parallel/exchange.py) on
+        every part that supports it — big hashed tables and CAFE parts
+        (with shard-local sketches). Must run BEFORE init(); returns the
+        names of the parts that activated (the rest stay replicated or
+        auto-partitioned)."""
+        return [f"part{i}:{type(p).__name__}"
+                for i, p in enumerate(self.parts) if p.enable_mesh(mesh)]
 
     def init(self, seed: int) -> Tuple[Dict, Dict]:
         rng = np.random.default_rng(seed)

@@ -58,7 +58,8 @@ class CafePart(Part):
                  sketch_threshold: float, sketch_decay: float,
                  max_count: int, optimizer: str = "sgd",
                  use_freq: bool = False, plus: bool = False,
-                 adjust_threshold: bool = True, alpha: float = 1.000001):
+                 adjust_threshold: bool = True, alpha: float = 1.000001,
+                 mig_lanes: int = 256):
         self.field_idx = list(field_idx)
         self.counts = [int(c) for c in counts]
         self.global_offsets = [int(o) for o in global_offsets]
@@ -74,6 +75,12 @@ class CafePart(Part):
         self.hash_base = round_up(self.hotn)
         self.total_rows = self.hash_base + round_up(self.hash_rows)
         self.plus = plus
+        # per-shard migration lane budget in the sharded step: promotions
+        # beyond this per step are REVERTED losslessly (slot returned, cell
+        # de-promoted; the id re-promotes on its next touch) so the
+        # migration exchange stays a small fixed size
+        self.mig_lanes = int(mig_lanes)
+        self.n_shards = 1
         if plus:
             self.sketch_cfg = CafePlusConfig(
                 lim=self.hotn, threshold=float(sketch_threshold),
@@ -89,21 +96,54 @@ class CafePart(Part):
             self._sk_query = sketch_query
             self._sk_insert = sketch_insert
 
+    def enable_mesh(self, mesh) -> bool:
+        """Opt into the explicit SPMD exchange with a SHARD-LOCAL sketch:
+        ids route to shards by hash(id) % n, each shard runs the v1 kernel
+        on its own bucket/free-list slice, promotions stay device-local
+        (SURVEY.md §7 'Multi-host sketch semantics'). Must be called
+        BEFORE init(). CAFE+ (two-tier) falls back to the auto-partitioned
+        path for now."""
+        if self.plus:
+            return False
+        from ..sketch.sharded import local_config
+        n = int(mesh.devices.size)
+        if self.total_rows % n:
+            return False
+        try:
+            lcfg, s_l = local_config(self.sketch_cfg, n)
+        except ValueError:
+            return False
+        if s_l < 2:
+            return False
+        self.mesh = mesh
+        self.n_shards = n
+        self._lcfg = lcfg
+        self._s_l = s_l
+        return True
+
     def init(self, rng: np.random.Generator) -> Dict:
         table = np.zeros((self.total_rows, self.dim), dtype=np.float32)
         high_scale = np.sqrt(1.0 / self.max_count)  # init_embed.py:119
-        table[: self.hotn] = rng.uniform(
+        # sharded mode can allocate slots up to the padded hot region (the
+        # rows exist either way); initialize the whole region it may serve
+        n_hot_init = self.hash_base if self.mesh is not None else self.hotn
+        table[: n_hot_init] = rng.uniform(
             -high_scale, high_scale,
-            size=(self.hotn, self.dim)).astype(np.float32)
+            size=(n_hot_init, self.dim)).astype(np.float32)
         lo = self.hash_base
         for n, hs in zip(self.counts, self.hash_sizes):
             scale = np.sqrt(1.0 / n)  # sk_embedding_bag.py:92-94
             table[lo:lo + hs] = rng.uniform(
                 -scale, scale, size=(hs, self.dim)).astype(np.float32)
             lo += hs
+        if self.mesh is not None:
+            from ..sketch.sharded import init_sharded_sketch
+            sketch = init_sharded_sketch(self.sketch_cfg, self.n_shards)
+        else:
+            sketch = self._sk_init(self.sketch_cfg)
         state = {
             "table": jnp.asarray(table),
-            "sketch": self._sk_init(self.sketch_cfg),
+            "sketch": sketch,
         }
         return self._maybe_acc(state, "table")
 
@@ -119,6 +159,8 @@ class CafePart(Part):
         return jnp.where(is_hot, slot, hrow), hrow
 
     def gather(self, state: Dict, ids: jnp.ndarray):
+        if self.mesh is not None:
+            return self._gather_sharded(state, ids)
         b, f = ids.shape
         oids = self._oids(ids)
         q = self._sk_query(self.sketch_cfg, state["sketch"],
@@ -129,8 +171,61 @@ class CafePart(Part):
         raw = state["table"][row]
         return raw, (oids, row, hrow, is_hot)
 
+    def _gather_sharded(self, state: Dict, ids: jnp.ndarray):
+        """Explicit SPMD forward: all_gather the int32 offset ids, each
+        sketch shard answers hot-routing for the ids it owns, an int32
+        psum publishes the global row map, then an owner-compute gather +
+        psum_scatter returns each device its batch shard's rows. Traffic
+        per device: ~M*4*(n-1)/n (ids) + 2*M*4*(n-1)/n (row psum) +
+        M*D*4*(n-1)/n (rows) — O(batch), never O(table)."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.embedding_parallel import shard_map
+        from ..parallel.exchange import AXIS, _owner_rows
+        from ..sketch.hotsketch import INVALID_ID, query_cells
+        from ..sketch.sharded import shard_of
+
+        n, s_l, lcfg = self.n_shards, self._s_l, self._lcfg
+        nf = len(self.field_idx)
+        hsz = jnp.asarray(self.hash_sizes, dtype=jnp.int32)
+        hoff = jnp.asarray(self.hash_off, dtype=jnp.int32)
+        oids = self._oids(ids)
+        sk = state["sketch"]
+
+        def f(tbl, val, cnt, dic, oids_l):
+            bl, fl = oids_l.shape
+            m = bl * fl
+            me = jax.lax.axis_index(AXIS)
+            all_oids = jax.lax.all_gather(oids_l.reshape(m), AXIS,
+                                          tiled=True)
+            mine = shard_of(all_oids, n) == me
+            q_ids = jnp.where(mine, all_oids, INVALID_ID)
+            q = query_cells(lcfg, val, cnt, dic, q_ids)
+            slot_g = jnp.where(mine & (q < 0), -q + me * s_l, 0)
+            slot_all = jax.lax.psum(slot_g, AXIS)          # [M] global slots
+            field = jnp.arange(all_oids.shape[0]) % fl
+            hrow_all = (all_oids % hsz[field]) + hoff[field] + self.hash_base
+            row_all = jnp.where(slot_all > 0, slot_all, hrow_all)
+            rows = _owner_rows(tbl, row_all)
+            out = jax.lax.psum_scatter(rows, AXIS, scatter_dimension=0,
+                                       tiled=True)
+            row_me = jax.lax.dynamic_slice(row_all, (me * m,), (m,))
+            hot_me = jax.lax.dynamic_slice(slot_all, (me * m,), (m,)) > 0
+            return (out.reshape(bl, fl, -1), row_me.reshape(bl, fl),
+                    hot_me.reshape(bl, fl))
+
+        raw, row, is_hot = shard_map(
+            f, self.mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                      P(AXIS, None), P(AXIS, None)),
+            out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS, None)),
+        )(state["table"], sk.val, sk.cnt, sk.dic, oids)
+        return raw, (oids, row, is_hot)
+
     def apply_grads(self, state: Dict, ids: jnp.ndarray, g_raw: jnp.ndarray,
                     aux, lr: float):
+        if self.mesh is not None:
+            return self._apply_sharded(state, ids, g_raw, aux, lr)
         oids, row, hrow, is_hot = aux
         b, f, d = g_raw.shape
 
@@ -190,6 +285,144 @@ class CafePart(Part):
         }
         return state, stats
 
+    def _apply_sharded(self, state: Dict, ids: jnp.ndarray,
+                       g_raw: jnp.ndarray, aux, lr: float):
+        """Explicit SPMD backward: shard-local sketch insert (each shard
+        inserts only the ids it owns, with its OWN free list — promotion
+        decisions never serialize through a global stack), lossless
+        overflow-revert promotion capping, a bounded migration exchange
+        (n*mig_lanes rows), then dedup + owner-compute sparse update."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+        from ..ops.sparse import coalesce
+        from ..parallel.embedding_parallel import shard_map
+        from ..parallel.exchange import (AXIS, DROP_ROW, _local_idx,
+                                         _owner_rows)
+        from ..ops.sparse import sparse_adagrad, sparse_sgd
+        from ..sketch.hotsketch import (HotSketchState, INVALID_ID,
+                                        _bucket_of, push_slots,
+                                        sketch_insert)
+        from ..sketch.sharded import shard_of
+
+        oids, row, is_hot = aux
+        b, f, d = g_raw.shape
+        n, s_l, lcfg = self.n_shards, self._s_l, self._lcfg
+        cells = lcfg.cells
+        p_cap = min(self.mig_lanes, max(s_l - 1, 1))
+        goff = jnp.asarray(self.global_offsets, dtype=jnp.int32)
+        hsz = jnp.asarray(self.hash_sizes, dtype=jnp.int32)
+        hoff = jnp.asarray(self.hash_off, dtype=jnp.int32)
+        sgd = self.optimizer != "adagrad"
+
+        # importance scores — identical math to the single-device path
+        if self.use_freq:
+            scores = jnp.ones((b, f), jnp.float32)
+        else:
+            norms = jnp.sqrt(jnp.sum(g_raw * g_raw, axis=-1) + 1e-30)
+            scores = norms * b / (jnp.sum(norms, axis=0, keepdims=True)
+                                  + 1e-30)
+
+        sk = state["sketch"]
+        acc = state.get("table_acc")
+        acc_in = acc if acc is not None else jnp.zeros((), jnp.float32)
+        acc_spec = P() if sgd else P(AXIS, None)
+
+        def f(tbl, ac, val, cnt, dic, free, ftop, tot,
+              oids_l, row_l, g_l, sc_l):
+            bl, fl = oids_l.shape
+            m = bl * fl
+            me = jax.lax.axis_index(AXIS)
+            rows_l = tbl.shape[0]
+            all_oids = jax.lax.all_gather(oids_l.reshape(m), AXIS,
+                                          tiled=True)
+            all_sc = jax.lax.all_gather(sc_l.reshape(m), AXIS, tiled=True)
+            big_m = all_oids.shape[0]
+
+            # ---- shard-local sketch insert (unchanged v1 kernel) ------
+            mine = shard_of(all_oids, n) == me
+            q_ids = jnp.where(mine, all_oids, INVALID_ID)
+            st = HotSketchState(val=val, cnt=cnt, dic=dic, free=free,
+                                free_top=ftop[0], tot=tot[0])
+            st, promo = sketch_insert(lcfg, st, q_ids, all_sc)
+
+            # ---- lossless promotion capping: revert lanes beyond p_cap
+            rank = jnp.cumsum(promo.mask.astype(jnp.int32)) - 1
+            excess = promo.mask & (rank >= p_cap)
+            h = _bucket_of(lcfg, q_ids)
+            hb = jnp.repeat(h, cells)
+            cell_idx = jnp.tile(jnp.arange(cells), big_m)
+            sp = st.val.shape[0]
+            dic2 = st.dic.at[jnp.where(excess, hb, sp), cell_idx].set(
+                0, mode="drop")
+            free2, ftop2 = push_slots(st.free, st.free_top, promo.slots,
+                                      excess)
+            st = st._replace(dic=dic2, free=free2, free_top=ftop2)
+            keep = promo.mask & ~excess
+
+            # ---- compact promotions to p_cap lanes, publish globally --
+            pos = jnp.where(keep, jnp.clip(rank, 0, p_cap - 1), p_cap)
+            cp_ids = jnp.full(p_cap + 1, INVALID_ID, jnp.int32).at[pos].set(
+                promo.ids, mode="drop")[:p_cap]
+            cp_slot = jnp.zeros(p_cap + 1, jnp.int32).at[pos].set(
+                promo.slots + me * s_l, mode="drop")[:p_cap]
+            cp_mask = jnp.zeros(p_cap + 1, bool).at[pos].set(
+                keep, mode="drop")[:p_cap]
+            gp_ids = jax.lax.all_gather(cp_ids, AXIS, tiled=True)
+            gp_slot = jax.lax.all_gather(cp_slot, AXIS, tiled=True)
+            gp_mask = jax.lax.all_gather(cp_mask, AXIS, tiled=True)
+
+            # ---- migration: cold-row owners contribute, psum, hot-row
+            # owners write (bounded n*p_cap*D exchange)
+            pf = jnp.clip(jnp.searchsorted(goff, gp_ids, side="right") - 1,
+                          0, fl - 1)
+            src_row = jnp.clip((gp_ids % hsz[pf]) + hoff[pf],
+                               0, self.hash_rows - 1) + self.hash_base
+            src_row = jnp.where(gp_mask, src_row, DROP_ROW)
+            mig = jax.lax.psum(_owner_rows(tbl, src_row), AXIS)
+            dst = jnp.where(gp_mask, gp_slot, DROP_ROW)
+            tbl = tbl.at[_local_idx(rows_l, dst)].set(
+                mig.astype(tbl.dtype), mode="drop")
+
+            # ---- dedup + owner-compute sparse update ------------------
+            flat_row, g2 = coalesce(row_l.reshape(m),
+                                    g_l.reshape(m, -1),
+                                    drop_sentinel=int(DROP_ROW))
+            all_row = jax.lax.all_gather(flat_row, AXIS, tiled=True)
+            all_g = jax.lax.all_gather(g2, AXIS, tiled=True)
+            loc = _local_idx(rows_l, all_row)
+            if sgd:
+                tbl = sparse_sgd(tbl, loc, all_g, lr)
+            else:
+                tbl, ac = sparse_adagrad(tbl, ac, loc, all_g, lr)
+
+            n_promo = jax.lax.psum(keep.sum(dtype=jnp.int32), AXIS)
+            return (tbl, ac, st.val, st.cnt, st.dic, st.free,
+                    st.free_top[None], st.tot[None], n_promo)
+
+        (table, acc_out, val, cnt, dic, free, ftop, tot, n_promo) = \
+            shard_map(
+                f, self.mesh,
+                in_specs=(P(AXIS, None), acc_spec, P(AXIS, None),
+                          P(AXIS, None), P(AXIS, None), P(AXIS),
+                          P(AXIS), P(AXIS), P(AXIS, None), P(AXIS, None),
+                          P(AXIS, None, None), P(AXIS, None)),
+                out_specs=(P(AXIS, None), acc_spec, P(AXIS, None),
+                           P(AXIS, None), P(AXIS, None), P(AXIS),
+                           P(AXIS), P(AXIS), P()),
+            )(state["table"], acc_in, sk.val, sk.cnt, sk.dic, sk.free,
+              sk.free_top, sk.tot, oids, row, g_raw, scores)
+
+        new_sk = HotSketchState(val=val, cnt=cnt, dic=dic, free=free,
+                                free_top=ftop, tot=tot)
+        out = {**state, "table": table, "sketch": new_sk}
+        if not sgd:
+            out["table_acc"] = acc_out
+        stats = {
+            "cafe_promotions": n_promo,
+            "cafe_hot_frac": is_hot.mean(),
+        }
+        return out, stats
+
     def quantize_for_serving(self, state: Dict, bits: int) -> Dict:
         return {"table": self._quantize(state["table"], bits)}
 
@@ -199,8 +432,14 @@ class CafePart(Part):
         from ..ops.quantized import dequantize_rows
         b, f = ids.shape
         oids = self._oids(ids)
-        q = self._sk_query(self.sketch_cfg, state["sketch"],
-                           oids.reshape(-1)).reshape(b, f)
+        if self.mesh is not None or self.n_shards > 1:
+            from ..sketch.sharded import query_sharded
+            q = query_sharded(self.sketch_cfg, self.n_shards,
+                              state["sketch"],
+                              oids.reshape(-1)).reshape(b, f)
+        else:
+            q = self._sk_query(self.sketch_cfg, state["sketch"],
+                               oids.reshape(-1)).reshape(b, f)
         is_hot = q < 0
         row, _ = self._rows(oids, is_hot, jnp.where(is_hot, -q, 0))
         return dequantize_rows(qt["table"], row.reshape(-1)).reshape(

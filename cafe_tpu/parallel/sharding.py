@@ -32,7 +32,7 @@ _ROW_SHARDED_1D = {"dic", "grad_norm", "hot_dict"}
 _SKETCH_2D = {"val", "cnt", "val1", "cnt1", "dic1",
               "val2", "cnt2", "dic2", "ts2"}
 
-_MIN_ROWS = 1024  # don't bother sharding tiny tables
+_MIN_ROWS = 512  # everything is ROW_ALIGN(512)-padded; smaller = scalarish
 
 
 def _leaf_name(path) -> str:
@@ -50,10 +50,20 @@ def state_shardings(state: Any, mesh: Mesh, shard_embeddings: bool) -> Any:
     row2d = NamedSharding(mesh, P("data", None))
     row1d = NamedSharding(mesh, P("data"))
 
+    n = int(mesh.devices.size)
+
     def embed_leaf(path, leaf):
         if not shard_embeddings:
             return repl
         name = _leaf_name(path)
+        # shard-local sketch bookkeeping: free_top/tot carry one scalar
+        # per shard ([n]) under the explicit exchange; the single-device
+        # layout keeps them 0-d (replicated)
+        if name in ("free_top", "tot") and leaf.ndim == 1 \
+                and leaf.shape[0] == n:
+            return row1d
+        if leaf.shape and leaf.shape[0] % n:
+            return repl  # not evenly shardable over this mesh
         if leaf.ndim == 2 and leaf.shape[0] >= _MIN_ROWS and (
                 name in _ROW_SHARDED_2D or name in _SKETCH_2D
                 or name == "dic"):

@@ -105,17 +105,24 @@ def _bucket_of(cfg: HotSketchConfig, ids: jnp.ndarray) -> jnp.ndarray:
     return (h % jnp.uint32(cfg.buckets)).astype(jnp.int32)
 
 
+def query_cells(cfg: HotSketchConfig, val: jnp.ndarray, cnt: jnp.ndarray,
+                dic: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Query against raw cell arrays (shard-local slices use this inside
+    shard_map where no full HotSketchState exists)."""
+    h = _bucket_of(cfg, ids)
+    bv = val[h]                          # [B, C]
+    bc = cnt[h]
+    bd = dic[h]
+    m = (bc > 0) & (bv == ids[:, None]) & (bd != 0)
+    slot = jnp.max(jnp.where(m, bd, 0), axis=1)
+    return jnp.where(slot > 0, -slot, ids)
+
+
 def sketch_query(cfg: HotSketchConfig, state: HotSketchState,
                  ids: jnp.ndarray) -> jnp.ndarray:
     """For each id return -hot_slot if hot else the id itself
     (sketch.cpp:45-53's convention: negative means hot)."""
-    h = _bucket_of(cfg, ids)
-    bv = state.val[h]                    # [B, C]
-    bc = state.cnt[h]
-    bd = state.dic[h]
-    m = (bc > 0) & (bv == ids[:, None]) & (bd != 0)
-    slot = jnp.max(jnp.where(m, bd, 0), axis=1)
-    return jnp.where(slot > 0, -slot, ids)
+    return query_cells(cfg, state.val, state.cnt, state.dic, ids)
 
 
 def alloc_slots(free, free_top, want_mask):

@@ -49,8 +49,13 @@ def model_arch(cfg: Config, num_dense: int, num_sparse: int):
     return ln_bot, ln_top
 
 
-def build_all(cfg: Config, train_data=None):
-    """Construct (model, embed_layer, state, train_step, eval_step)."""
+def build_all(cfg: Config, train_data=None, mesh=None):
+    """Construct (model, embed_layer, state, train_step, eval_step).
+
+    With `mesh` (and cfg.shard_exchange == 'explicit'), the embedding
+    parts that support it switch to the shard_map dedup + AG/psum-scatter
+    exchange with shard-local sketches BEFORE state init — the state
+    layout (per-shard free lists) depends on it."""
     if train_data is None:
         train_data = get_dataset(cfg, "train")
     counts = np.asarray(train_data.counts)
@@ -68,6 +73,11 @@ def build_all(cfg: Config, train_data=None):
                               train_data.num_dense, ln_bot, ln_top,
                               compute_dtype=compute_dtype, **kwargs)
     embed = build_embedding_layer(cfg, counts, cfg.embedding_dim, train_data)
+    if mesh is not None and cfg.shard_embeddings \
+            and cfg.shard_exchange == "explicit":
+        active = embed.set_mesh(mesh)
+        msg = active if active else "no part (all small/unsupported -> auto)"
+        print(f"explicit SPMD exchange on: {msg}", flush=True)
     state = init_state(model, embed, cfg.numpy_rand_seed, cfg.optimizer)
     return model, embed, state, build_train_step(model, embed, cfg), \
         build_eval_step(model, embed)
@@ -154,23 +164,30 @@ def run(cfg: Config) -> Dict:
     t_build = time.time()
     train_data = get_dataset(cfg, "train")
     test_data = get_dataset(cfg, "test")
-    model, embed, state, train_step, eval_step = build_all(cfg, train_data)
+    mesh = None
     if cfg.mesh_shape is not None or cfg.shard_embeddings:
         # SPMD over the device mesh: DP dense towers + (optionally)
-        # row-sharded tables and sketch. New capability vs the reference
-        # (SURVEY.md §2.6: it has no distributed execution).
-        from ..parallel import make_mesh, shard_train_step
+        # row-sharded tables and shard-local sketch. New capability vs the
+        # reference (SURVEY.md §2.6: it has no distributed execution).
+        from ..parallel import make_mesh
         mesh = make_mesh(cfg.mesh_shape)
         n = mesh.devices.size
-        if cfg.mini_batch_size % n:
-            raise ValueError(f"--mini_batch_size {cfg.mini_batch_size} "
-                             f"must divide by the {n}-device mesh")
+        for nm, bs in (("mini_batch_size", cfg.mini_batch_size),
+                       ("test_mini_batch_size", cfg.test_mini_batch_size)):
+            if bs % n:
+                raise ValueError(f"--{nm} {bs} must divide by the "
+                                 f"{n}-device mesh")
+    model, embed, state, train_step, eval_step = build_all(
+        cfg, train_data, mesh=mesh)
+    if mesh is not None:
+        from ..parallel import shard_train_step
         train_step, state = shard_train_step(
             train_step, mesh, state,
             shard_embeddings=cfg.shard_embeddings,
             donate=cfg.donate_state)
-        print(f"sharded over {n} devices "
-              f"(shard_embeddings={cfg.shard_embeddings})", flush=True)
+        print(f"sharded over {mesh.devices.size} devices "
+              f"(shard_embeddings={cfg.shard_embeddings}, "
+              f"exchange={cfg.shard_exchange})", flush=True)
     print(f"setup done in {time.time() - t_build:.1f}s; "
           f"counts={np.asarray(train_data.counts)[:8]}...", flush=True)
 

@@ -110,3 +110,210 @@ class TestExplicitExchange:
         ref_table = table.at[ids].add(-0.5 * jnp.ones((64, 8)))
         np.testing.assert_allclose(np.asarray(new_table),
                                    np.asarray(ref_table), atol=1e-5)
+
+
+class TestExplicitProductionPath:
+    """The round-2 production path: dedup + AG/psum-scatter exchange with
+    SHARD-LOCAL sketches inside the real train step (not a demo module).
+    Verifies numerics, sketch invariants, and — critically — that the
+    compiled HLO moves O(batch), never O(table), bytes."""
+
+    def _cfg(self, method="cafe", vocab=30000, **kw):
+        base = dict(dataset="synthetic", embedding_dim=16,
+                    compress_method=method, compress_rate=0.05,
+                    cafe_sketch_threshold=5.0, learning_rate=0.1,
+                    synthetic_rows=16384, synthetic_fields=4,
+                    synthetic_vocab=vocab, synthetic_dense=13,
+                    mini_batch_size=128, shard_embeddings=True)
+        base.update(kw)
+        return Config(**base)
+
+    def _build_sharded(self, cfg, train):
+        from cafe_tpu.parallel import shard_train_step
+        mesh = make_mesh(8)
+        model, embed, state, step, eval_step = build_all(cfg, train,
+                                                         mesh=mesh)
+        sharded, st = shard_train_step(step, mesh, state,
+                                       shard_embeddings=True)
+        return embed, sharded, st, eval_step, mesh
+
+    def test_parts_activate_explicit_mode(self):
+        cfg = self._cfg()
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        embed, _, _, _, mesh = self._build_sharded(cfg, train)
+        assert any(p.mesh is not None for p in embed.parts), \
+            "no part opted into the explicit exchange"
+
+    def test_full_table_explicit_matches_single_device(self):
+        """The hash/full exchange is promotion-free, so explicit sharding
+        must reproduce the single-device numbers (up to fp reassociation
+        in the duplicate-combining sums)."""
+        cfg = self._cfg(method=None, compress_rate=1.0)
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        model, embed1, s1, step1, _ = build_all(cfg, train)
+        _, sharded, s2, _, _ = self._build_sharded(cfg, train)
+        for dense, sparse, label, valid in list(
+                batch_iterator(train, 128, drop_last=True))[:6]:
+            args = (jnp.asarray(dense), jnp.asarray(sparse),
+                    jnp.asarray(label), jnp.asarray(valid))
+            s1, m1 = step1(s1, *args)
+            s2, m2 = sharded(s2, *args)
+            assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                      rel=3e-4)
+        t1 = np.asarray(s1.embed["part0"]["table"])
+        t2 = np.asarray(jax.device_get(s2.embed["part0"]["table"]))
+        np.testing.assert_allclose(t1, t2, atol=3e-5)
+
+    def test_adagrad_explicit_matches_single_device(self):
+        cfg = self._cfg(method="hash", compress_rate=0.2,
+                        optimizer="adagrad")
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        model, embed1, s1, step1, _ = build_all(cfg, train)
+        _, sharded, s2, _, _ = self._build_sharded(cfg, train)
+        for dense, sparse, label, valid in list(
+                batch_iterator(train, 128, drop_last=True))[:5]:
+            args = (jnp.asarray(dense), jnp.asarray(sparse),
+                    jnp.asarray(label), jnp.asarray(valid))
+            s1, m1 = step1(s1, *args)
+            s2, m2 = sharded(s2, *args)
+            assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                      rel=3e-4)
+        np.testing.assert_allclose(
+            np.asarray(s1.embed["part0"]["table_acc"]),
+            np.asarray(jax.device_get(s2.embed["part0"]["table_acc"])),
+            atol=3e-5)
+
+    def test_cafe_sharded_sketch_invariants(self):
+        """After training: every shard's allocated + free local slots
+        partition [1, S_l), and globally no hot slot serves two ids."""
+        cfg = self._cfg()
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        embed, sharded, st, _, _ = self._build_sharded(cfg, train)
+        part = embed.parts[0]
+        assert part.mesh is not None
+        for dense, sparse, label, valid in list(
+                batch_iterator(train, 128, drop_last=True))[:30]:
+            st, m = sharded(st, jnp.asarray(dense), jnp.asarray(sparse),
+                            jnp.asarray(label), jnp.asarray(valid))
+        sk = jax.device_get(st.embed["part0"]["sketch"])
+        n, s_l = part.n_shards, part._s_l
+        dic = np.asarray(sk.dic)
+        free = np.asarray(sk.free).reshape(n, s_l)
+        ftop = np.asarray(sk.free_top)
+        used_global = []
+        for s in range(n):
+            d = dic[s * s_l:(s + 1) * s_l]
+            used = d[d != 0]
+            assert len(np.unique(used)) == len(used), f"shard {s} dup slot"
+            assert ((used >= 1) & (used < s_l)).all()
+            fr = free[s, : ftop[s]]
+            assert ((fr >= 1) & (fr < s_l)).all()
+            both = np.concatenate([used, fr])
+            assert len(np.unique(both)) == len(both), \
+                f"shard {s}: slot both free and allocated"
+            assert len(both) == s_l - 1, \
+                f"shard {s}: slots leaked ({len(both)} != {s_l - 1})"
+            used_global.append(used + s * s_l)
+        allg = np.concatenate(used_global)
+        assert len(np.unique(allg)) == len(allg)
+        assert int(m["cafe_promotions"]) >= 0
+        assert (allg < part.hash_base).all()  # hot rows stay in hot region
+
+    def test_cafe_sharded_learns_like_single_device(self):
+        """Shard-local promotion is a semantics change (per-shard free
+        lists); assert the QUALITY is within noise of the global sketch."""
+        data = make_synthetic_arrays(rows=60000, fields=4, vocab=20000,
+                                     dense=4, zipf=1.2, seed=7)
+        cut = len(data) * 6 // 7
+        from cafe_tpu.data.datasets import CTRArrays
+        train = CTRArrays(data.sparse[:cut], data.dense[:cut],
+                          data.label[:cut], data.counts)
+        test = CTRArrays(data.sparse[cut:], data.dense[cut:],
+                         data.label[cut:], data.counts)
+        cfg = Config(dataset="synthetic", embedding_dim=16,
+                     compress_method="cafe", compress_rate=0.003,
+                     cafe_sketch_threshold=20.0, cafe_hash_rate=0.3,
+                     learning_rate=0.1, mini_batch_size=256,
+                     test_mini_batch_size=4096, shard_embeddings=True)
+        from cafe_tpu.train.loop import inference
+
+        def train_run(sharded_mode):
+            if sharded_mode:
+                embed, step, st, ev, _ = self._build_sharded(cfg, train)
+            else:
+                model, embed, st, step, ev = build_all(cfg, train)
+            for _ in range(4):
+                for dense, sparse, label, valid in batch_iterator(
+                        train, 256, drop_last=True):
+                    st, _ = step(st, jnp.asarray(dense),
+                                 jnp.asarray(sparse), jnp.asarray(label),
+                                 jnp.asarray(valid))
+            metrics, _ = inference(cfg, ev, st, test)
+            return metrics["roc_auc"]
+
+        auc_single = train_run(False)
+        auc_sharded = train_run(True)
+        # shard-local promotion must not cost meaningful quality
+        assert auc_sharded > auc_single - 0.01, \
+            f"sharded {auc_sharded:.4f} vs single {auc_single:.4f}"
+
+    def test_hlo_no_table_sized_collectives(self):
+        """Compile the sharded step and audit every collective: nothing
+        close to table size may move (the auto-partitioner's legal
+        fallback all-gathers the table; the explicit path must not)."""
+        from cafe_tpu.tools.hlo_traffic import collective_stats
+        cfg = self._cfg(method=None, compress_rate=1.0, vocab=262144)
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        embed, sharded, st, _, _ = self._build_sharded(cfg, train)
+        dense, sparse, label, valid = next(iter(
+            batch_iterator(train, 128, drop_last=True)))
+        args = (st, jnp.asarray(dense), jnp.asarray(sparse),
+                jnp.asarray(label), jnp.asarray(valid))
+        txt = sharded.lower(*args).compile().as_text()
+        stats = collective_stats(txt)
+        assert stats, "no collectives found — not actually sharded?"
+        table_bytes = 4 * 16 * st.embed["part0"]["table"].shape[0]
+        # two legitimate traffic classes: the O(batch) embedding exchange
+        # and the O(params) DP dense-tower grad all-reduce; both are far
+        # below table size
+        m_ids = 128 * 4
+        dense_bytes = 4 * sum(l.size for l in jax.tree.leaves(st.params))
+        bound = max(8 * m_ids * (16 + 4) * 4, 2 * dense_bytes)
+        assert bound < table_bytes // 8
+        big = [c for c in stats if c.result_bytes > bound]
+        assert not big, (
+            f"collectives exceed the O(batch) bound {bound}B "
+            f"(table={table_bytes}B): "
+            + "; ".join(f"{c.op}:{c.result_bytes}B" for c in big[:5]))
+
+    def test_hlo_cafe_no_table_sized_collectives(self):
+        from cafe_tpu.tools.hlo_traffic import collective_stats
+        cfg = self._cfg(method="cafe", vocab=262144, compress_rate=0.02)
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        embed, sharded, st, _, _ = self._build_sharded(cfg, train)
+        part = embed.parts[0]
+        assert part.mesh is not None
+        dense, sparse, label, valid = next(iter(
+            batch_iterator(train, 128, drop_last=True)))
+        args = (st, jnp.asarray(dense), jnp.asarray(sparse),
+                jnp.asarray(label), jnp.asarray(valid))
+        txt = sharded.lower(*args).compile().as_text()
+        stats = collective_stats(txt)
+        assert stats
+        m_ids = 128 * 4
+        # batch rows + id/slot psums + bounded migration exchange + DP
+        # dense-tower grads
+        mig = part.n_shards * min(part.mig_lanes, part._s_l - 1)
+        dense_bytes = 4 * sum(l.size for l in jax.tree.leaves(st.params))
+        bound = max(8 * (m_ids * (16 + 4) * 4 + mig * 16 * 4),
+                    2 * dense_bytes)
+        big = [c for c in stats if c.result_bytes > bound]
+        assert not big, (
+            f"collectives exceed O(batch)+migration bound {bound}B: "
+            + "; ".join(f"{c.op}:{c.result_bytes}B" for c in big[:5]))
