@@ -98,6 +98,16 @@ class Config:
                                        #   collectives (always bit-equal to the
                                        #   single-device step)
     bf16: bool = False                 # bfloat16 matmuls in the dense towers
+    # multi-host (pod) execution: every process runs the same program;
+    # jax.distributed stitches their local chips into one global mesh and
+    # each process feeds its slice of every batch (SURVEY.md §2.6 — the
+    # reference has no distributed execution; new design)
+    dist_num_processes: int = 1
+    dist_process_id: int = 0
+    dist_coordinator: str = ""         # host:port of process 0
+    force_platform: str = ""           # debug/tests: "cpu" forces the CPU
+                                       # backend (the TPU plugin ignores
+                                       # JAX_PLATFORMS env)
     # profiling (reference --enable-profiling, dlrm_s_pytorch.py:1576-1777)
     enable_profiling: bool = False
     profile_steps: int = 20

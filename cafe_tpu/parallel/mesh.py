@@ -16,6 +16,26 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def maybe_init_distributed(cfg) -> bool:
+    """Join the multi-process (multi-host) runtime when configured.
+
+    Must run before any JAX backend use. Every process then sees the
+    GLOBAL device list (jax.devices()), ordered by process, so a
+    make_mesh() over it spans the pod; collectives ride ICI within a host
+    slice and DCN across (placement is the runtime's job — the program is
+    identical either way). Reference: none (SURVEY.md §2.6)."""
+    n = int(getattr(cfg, "dist_num_processes", 1) or 1)
+    if n <= 1:
+        return False
+    import jax
+    jax.distributed.initialize(
+        coordinator_address=cfg.dist_coordinator or "localhost:12321",
+        num_processes=n,
+        process_id=int(cfg.dist_process_id),
+    )
+    return True
+
+
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:

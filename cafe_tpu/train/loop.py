@@ -111,11 +111,17 @@ def get_dataset(cfg: Config, phase: str):
 
 
 def inference(cfg: Config, eval_step, state: TrainState, test_data,
-              throughput: bool = False) -> Tuple[Dict[str, float], float]:
-    """Streaming evaluation (main.py:32-131). Returns (metrics, ms_per_it)."""
+              throughput: bool = False, mesh=None
+              ) -> Tuple[Dict[str, float], float]:
+    """Streaming evaluation (main.py:32-131). Returns (metrics, ms_per_it).
+
+    Under multi-host execution, each process feeds its slice of every
+    test batch and scores are gathered back to every host for the metric
+    computation."""
     scores, targets = [], []
     t_start = None
     n_timed = 0
+    multiproc = jax.process_count() > 1
 
     def _stream():
         if not throughput:
@@ -131,8 +137,13 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
             if not got:
                 return
 
+    stream = _stream()
+    if multiproc:
+        from ..parallel.multihost import gather_to_host, global_batches
+        stream = global_batches(mesh, stream)
+
     p = None
-    for it, (dense, sparse, label, valid) in enumerate(_stream()):
+    for it, (dense, sparse, label, valid) in enumerate(stream):
         if throughput and it == 10:
             # drain the async warmup dispatches before starting the clock
             if p is not None:
@@ -146,8 +157,12 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
             if it == 1023:
                 break
             continue
-        scores.append(np.asarray(p[:valid]))
-        targets.append(label[:valid])
+        if multiproc:
+            scores.append(gather_to_host(p)[:valid])
+            targets.append(gather_to_host(label)[:valid])
+        else:
+            scores.append(np.asarray(p[:valid]))
+            targets.append(label[:valid])
     if throughput:
         if p is not None:
             jax.block_until_ready(p)
@@ -160,8 +175,24 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
     return binary_metrics(targets, scores), 0.0
 
 
+def _scalar(x) -> float:
+    """Host value of a replicated device scalar; under multi-host the
+    global array is not fully addressable, so read the local shard."""
+    if getattr(x, "is_fully_addressable", True):
+        return float(x)
+    return float(np.asarray(x.addressable_data(0)))
+
+
 def run(cfg: Config) -> Dict:
     t_build = time.time()
+    if cfg.force_platform:
+        # the TPU tunnel plugin ignores JAX_PLATFORMS; the config knob is
+        # authoritative (must land before first backend use)
+        jax.config.update("jax_platforms", cfg.force_platform)
+    from ..parallel.mesh import maybe_init_distributed
+    if maybe_init_distributed(cfg):
+        print(f"process {jax.process_index()}/{jax.process_count()} "
+              f"joined; {len(jax.devices())} global devices", flush=True)
     train_data = get_dataset(cfg, "train")
     test_data = get_dataset(cfg, "test")
     mesh = None
@@ -270,9 +301,13 @@ def run(cfg: Config) -> Dict:
         # no replayed sub-batches when steps_per_dispatch > 1 and no
         # dependence on the saving run's dispatch width
         base_it = skip_batch if ep == skip_epoch else 0
-        batches = device_prefetch(
-            batch_iterator(train_data, fetch,
-                           start_row=base_it * cfg.mini_batch_size))
+        raw_batches = batch_iterator(
+            train_data, fetch, start_row=base_it * cfg.mini_batch_size)
+        if jax.process_count() > 1:
+            from ..parallel.multihost import global_batches
+            batches = global_batches(mesh, raw_batches)
+        else:
+            batches = device_prefetch(raw_batches)
         for i, (dense, sparse, label, valid) in enumerate(batches):
             if cfg.enable_profiling and i == 10:
                 jax.profiler.start_trace(
@@ -300,7 +335,7 @@ def run(cfg: Config) -> Dict:
                 now = time.time()
                 train_ms = (now - t_window) * 1000.0 / max(total_iter, 1)
                 t_window = now
-                train_loss = float(total_loss) / max(total_samp, 1)
+                train_loss = _scalar(total_loss) / max(total_samp, 1)
                 print(f"Finished training it {eff_it}/{nbatches} of epoch "
                       f"{ep}, {train_ms:.2f} ms/it, loss {train_loss:.6f}",
                       flush=True)
@@ -313,7 +348,7 @@ def run(cfg: Config) -> Dict:
                                and eff_it >= 2 * cfg.print_freq):
                 if cfg.test_throughput:
                     _, test_ms = inference(cfg, eval_step, state, test_data,
-                                           throughput=True)
+                                           throughput=True, mesh=mesh)
                     lat = {"train": train_ms, "test": test_ms}
                     out = osp.join(cfg.tensor_board_filename, "latency.json")
                     with open(out, "w") as f:
@@ -321,7 +356,8 @@ def run(cfg: Config) -> Dict:
                     print(f"latency: {lat}", flush=True)
                     logger.close()
                     return {"latency": lat}
-                metrics, _ = inference(cfg, eval_step, state, test_data)
+                metrics, _ = inference(cfg, eval_step, state, test_data,
+                                       mesh=mesh)
                 log_iter = nbatches * ep + eff_it
                 for k, v in metrics.items():
                     logger.add_scalar(k if k != "accuracy" else "Test/Acc",

@@ -1,0 +1,80 @@
+"""Multi-host execution: 2 processes x 4 virtual CPU devices = one
+8-device global mesh, each process feeding its slice of every batch.
+
+The same training config runs (a) as two coordinated processes and
+(b) as one process with 8 devices; the global SPMD program is identical,
+so the loss trajectories and eval metrics must agree to fp noise.
+
+Reference: none — the reference has no distributed execution
+(SURVEY.md §2.6); spec from BASELINE.md's 1-chip/1-host/N-hosts ladder.
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+FLAGS = [
+    "--dataset", "synthetic", "--synthetic_rows", "8192",
+    "--synthetic_fields", "4", "--synthetic_vocab", "20000",
+    "--embedding_dim", "8", "--mini_batch_size", "128",
+    "--test_mini_batch_size", "1024",
+    "--nepochs", "1", "--print_freq", "16", "--test_freq", "48",
+    "--compress_method", "cafe", "--compress_rate", "0.05",
+    "--cafe_sketch_threshold", "5", "--shard_embeddings", "true",
+    "--force_platform", "cpu",
+]
+
+LOSS_RE = re.compile(r"it (\d+)/\d+ .*?, ([0-9.]+) ms/it, loss ([0-9.]+)")
+AUC_RE = re.compile(r"auc ([0-9.]+) %")
+
+
+def _run(extra, n_local_devices, timeout=420):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                        f"{n_local_devices}")
+    return subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "main.py")] + FLAGS + extra,
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+
+
+def _losses(out):
+    return {int(m.group(1)): float(m.group(3))
+            for m in LOSS_RE.finditer(out)}
+
+
+@pytest.mark.timeout(900)
+def test_two_process_mesh_matches_single_process():
+    port = "localhost:12401"
+    procs = [_run(["--dist_num_processes", "2", "--dist_process_id",
+                   str(i), "--dist_coordinator", port], 4)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    ref = _run([], 8)
+    ref_out, _ = ref.communicate(timeout=600)
+    assert ref.returncode == 0, ref_out[-3000:]
+
+    l0, l1, lr = _losses(outs[0]), _losses(outs[1]), _losses(ref_out)
+    assert l0 and l0.keys() == l1.keys() == lr.keys()
+    for it in lr:
+        # both processes print the same replicated loss
+        assert l0[it] == pytest.approx(l1[it], abs=1e-6)
+        # and it matches the single-process 8-device run to fp noise
+        assert l0[it] == pytest.approx(lr[it], rel=2e-3, abs=2e-3), \
+            f"iter {it}: 2-proc {l0[it]} vs single {lr[it]}"
+
+    a0 = AUC_RE.search(outs[0])
+    ar = AUC_RE.search(ref_out)
+    assert a0 and ar, "eval line missing"
+    assert float(a0.group(1)) == pytest.approx(float(ar.group(1)),
+                                               abs=0.5)
