@@ -341,52 +341,50 @@ def sketch_insert_plus(cfg: CafePlusConfig, st: CafePlusState,
     dic2 = dic2.at[hz, cell2].set(0, mode="drop")
     ts2 = ts2.at[hz, cell2].set(0, mode="drop")
 
-    # ---- 3. brand-new ids displace the staging LRU victim (:193-209)
-    # Conflict-free placement: per round ONE representative lane per bucket
-    # (min-id, then min-lane claim — the v1 pattern) places into a victim
-    # cell chosen from the CURRENT arrays, so two colliding fresh ids land
-    # in different cells across rounds instead of clobbering one another,
-    # and each displaced victim is selected exactly once.
+    # ---- 3. brand-new ids displace staging LRU victims (:193-209)
+    # Batch-parallel MULTI-placement: colliding fresh ids within a bucket
+    # take DISTINCT victim cells (empty cells first — ts 0 — then true LRU
+    # order), so up to `cells` newcomers land per bucket per batch. The
+    # sequential reference admits every newcomer, later ones evicting
+    # earlier ones within the same batch; keeping the first `cells` (in
+    # canonical sorted-id order) is the self-eviction-free prefix of that
+    # behavior. An earlier one-representative-per-round design starved the
+    # staging tier when colliders/bucket >> rounds (measured on the
+    # microbench: recall 0.55 -> 0.91 at cells=16, 0.19 -> 0.97 at
+    # cells=32; docs/EXPERIMENTS.md "CAFE+ microbench").
     fresh = pend & ~matched2
-    placed = jnp.zeros_like(fresh)
-    placed_cell = jnp.zeros(b, jnp.int32)
-    vic_move = jnp.zeros_like(fresh)
-    vic_val_l = jnp.zeros(b, jnp.int32)
-    vic_cnt_l = jnp.zeros(b, jnp.float32)
-    vic_dic_l = jnp.zeros(b, jnp.int32)
-    for _ in range(cfg.insert_rounds):
-        p = fresh & ~placed
-        claim_id = jnp.full((n2p,), INVALID_ID, jnp.int32).at[
-            jnp.where(p, h2, n2p)].min(sid, mode="drop")
-        winner = p & (claim_id[h2] == sid)
-        claim_lane = jnp.full((n2p,), b, jnp.int32).at[
-            jnp.where(winner, h2, n2p)].min(lanes.astype(jnp.int32),
-                                            mode="drop")
-        rep = winner & (claim_lane[h2] == lanes)
+    # rank of each fresh lane within its bucket (lanes sharing h2 get
+    # 0,1,2,... in sorted order)
+    key_b = jnp.where(fresh, h2, n2p)
+    order2 = jnp.argsort(key_b, stable=True)
+    sh = key_b[order2]
+    head2 = jnp.concatenate([jnp.ones((1,), bool), sh[1:] != sh[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(head2, lanes, 0))
+    rank = jnp.zeros(b, jnp.int32).at[order2].set(
+        (lanes - seg_start).astype(jnp.int32))
 
-        sv, sc, sd, stt = val2[h2], cnt2[h2], dic2[h2], ts2[h2]
-        occ2 = sc > 0
-        has_empty = (~occ2).any(axis=1)
-        cell_v = jnp.where(has_empty, jnp.argmax(~occ2, axis=1),
-                           jnp.argmin(stt, axis=1))
-        # victim worth keeping moves to the main tier (:193-195)
-        vcnt = sc[lanes, cell_v]
-        vdic = sd[lanes, cell_v]
-        vval = sv[lanes, cell_v]
-        keep = rep & ~has_empty & ((vdic != 0) | (vcnt >= LRU_MOVE_MIN_CNT))
-        vic_move = vic_move | keep
-        vic_val_l = jnp.where(keep, vval, vic_val_l)
-        vic_cnt_l = jnp.where(keep, vcnt, vic_cnt_l)
-        vic_dic_l = jnp.where(keep, vdic, vic_dic_l)
+    sv, sc, sd, stt = val2[h2], cnt2[h2], dic2[h2], ts2[h2]
+    c = cfg.cells
+    vic_order = jnp.argsort(stt, axis=1)       # [B, C]: empties, then LRU
+    placed = fresh & (rank < c)
+    placed_cell = vic_order[lanes, jnp.clip(rank, 0, c - 1)]
+    vval = sv[lanes, placed_cell]
+    vcnt = sc[lanes, placed_cell]
+    vdic = sd[lanes, placed_cell]
+    occupied_v = vcnt > 0
+    # displaced victims worth keeping move to the main tier (:193-195)
+    vic_move = placed & occupied_v & ((vdic != 0)
+                                      | (vcnt >= LRU_MOVE_MIN_CNT))
+    vic_val_l = jnp.where(vic_move, vval, 0)
+    vic_cnt_l = jnp.where(vic_move, vcnt, 0.0)
+    vic_dic_l = jnp.where(vic_move, vdic, 0)
 
-        hw = jnp.where(rep, h2, n2p)
-        val2 = val2.at[hw, cell_v].set(sid, mode="drop")
-        cnt2 = cnt2.at[hw, cell_v].set(uscore, mode="drop")
-        dic2 = dic2.at[hw, cell_v].set(0, mode="drop")
-        ts2 = ts2.at[hw, cell_v].set(step, mode="drop")
-        placed_cell = jnp.where(rep, cell_v, placed_cell)
-        placed = placed | rep
-    # residual colliders simply retry on a later batch (v1 semantics)
+    hw = jnp.where(placed, h2, n2p)
+    val2 = val2.at[hw, placed_cell].set(sid, mode="drop")
+    cnt2 = cnt2.at[hw, placed_cell].set(uscore, mode="drop")
+    dic2 = dic2.at[hw, placed_cell].set(0, mode="drop")
+    ts2 = ts2.at[hw, placed_cell].set(step, mode="drop")
+    # colliders beyond `cells` simply retry on a later batch
 
     # a fresh id whose batch-summed score already clears the threshold
     # counts as a crossing and earns a slot right away (the reference's

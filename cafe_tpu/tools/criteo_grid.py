@@ -1,0 +1,194 @@
+"""Criteo-scale synthetic AUC grid — metric-vs-compression-rate at the
+REAL Criteo Kaggle shapes.
+
+The real datasets are absent from this environment, so quality at scale
+is measured on a Zipf stream over the true 26-field vocabularies
+(sum = 33,762,577 ids; tricks/sketchtest.py:41-45) with id-driven labels:
+every id carries a fixed random logit, so hash collisions measurably
+corrupt the signal and compression quality differences are visible in
+AUC — the property the reference's metric-vs-cr figures measure
+(visualization/plot_metric_cr.py).
+
+Operating points follow tasks/criteo.json's paired (compress_rate,
+sketch_threshold, hash_rate) schedule (tasks/criteo.json:44-56). The
+promotion thresholds there are tuned for the 45.8M-row Criteo stream;
+this grid's stream is shorter, so thresholds scale by rows/45.8M (scores
+are mean-1 per batch, making the crossing count proportional to stream
+length) — documented, not hidden.
+
+Writes one JSON line per finished config to --out (resumable artifact)
+and a summary table on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os.path as osp
+import sys
+import time
+
+import numpy as np
+
+REPO = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+# Criteo Kaggle per-field vocabulary sizes (26 fields)
+CRITEO_COUNTS = [
+    1460, 583, 10131227, 2202608, 305, 24, 12517, 633, 3, 93145, 5683,
+    8351593, 3194, 27, 14992, 5461306, 10, 5652, 2173, 4, 7046547, 18, 15,
+    286181, 105, 142572,
+]
+CRITEO_ROWS = 45840617  # load_data.py:157-160
+
+# (cr, cafe_threshold, cafe_hash_rate) — tasks/criteo.json pairing
+POINTS = [
+    (0.1, 20.0, 0.5),
+    (0.01, 100.0, 0.3),
+    (0.001, 500.0, 0.2),
+    (0.0001, 500.0, 0.1),
+]
+
+
+def gen_data(rows: int, zipf: float, seed: int):
+    """Zipf stream over the real vocabularies + id-driven labels."""
+    from cafe_tpu.data.datasets import CTRArrays
+    from cafe_tpu.data.synthetic import _zipf_ids
+
+    rng = np.random.default_rng(seed)
+    counts = np.asarray(CRITEO_COUNTS, dtype=np.int32)
+    cols, logits = [], np.zeros(rows, dtype=np.float32)
+    for f, v in enumerate(counts):
+        v = int(v)
+        ids = (_zipf_ids(rng, rows, v, zipf) if v > 2
+               else rng.integers(0, v, rows).astype(np.int32))
+        cols.append(ids)
+        id_logit = rng.normal(0.0, 1.0, size=v).astype(np.float32)
+        logits += id_logit[ids]
+    logits /= np.sqrt(len(counts))
+    p = 1.0 / (1.0 + np.exp(-logits))
+    label = (rng.random(rows) < p).astype(np.int32)
+    dense = np.log1p(rng.gamma(2.0, 2.0, size=(rows, 13))).astype(
+        np.float32)
+    sparse = np.stack(cols, axis=1)
+    return CTRArrays(sparse, dense, label, counts)
+
+
+def run_config(cfg, train, test, batch: int):
+    import jax
+    import jax.numpy as jnp
+    from cafe_tpu.data import batch_iterator
+    from cafe_tpu.train.loop import build_all, inference
+
+    model, embed, state, step, ev = build_all(cfg, train)
+    t0 = time.time()
+    hot_fracs, promos = [], 0.0
+    n_steps = 0
+    for dense, sparse, label, valid in batch_iterator(train, batch,
+                                                      drop_last=True):
+        state, m = step(state, jnp.asarray(dense), jnp.asarray(sparse),
+                        jnp.asarray(label), valid)
+        n_steps += 1
+        if "cafe_hot_frac" in m and n_steps % 50 == 0:
+            hot_fracs.append(m["cafe_hot_frac"])
+            promos = m.get("cafe_promotions", 0.0)
+    jax.block_until_ready(state.params)
+    train_s = time.time() - t0
+    metrics, _ = inference(cfg, ev, state, test)
+    out = {"auc": round(float(metrics["roc_auc"]), 5),
+           "acc": round(float(metrics["accuracy"]), 5),
+           "steps": n_steps, "train_s": round(train_s, 1),
+           "ex_per_s": round(n_steps * batch / max(train_s, 1e-9))}
+    if hot_fracs:
+        out["hot_frac_last"] = round(float(hot_fracs[-1]), 4)
+        out["hot_frac_mean"] = round(float(np.mean(
+            [float(h) for h in hot_fracs[-10:]])), 4)
+    if "part0" in state.embed and "sketch" in state.embed.get("part0", {}):
+        sk = state.embed["part0"]["sketch"]
+        if hasattr(sk, "free_top"):
+            cap = sk.free.shape[0]
+            out["slots_used"] = int(cap - 1 - int(np.asarray(sk.free_top)))
+            out["slot_capacity"] = cap - 1
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--rows", type=int, default=4_194_304)
+    p.add_argument("--zipf", type=float, default=1.1)
+    p.add_argument("--batch", type=int, default=2048)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--methods", nargs="+",
+                   default=["full", "hash", "cafe"])
+    p.add_argument("--crs", type=float, nargs="+", default=None,
+                   help="subset of the grid's compress rates")
+    p.add_argument("--out", default="docs/criteo_grid.jsonl")
+    p.add_argument("--platform", default="")
+    args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from cafe_tpu.config import Config
+
+    print(f"generating {args.rows} rows over the 26 Criteo vocabularies "
+          f"(zipf {args.zipf})...", flush=True)
+    t0 = time.time()
+    data = gen_data(args.rows, args.zipf, args.seed)
+    cut = args.rows * 6 // 7
+    from cafe_tpu.data.datasets import CTRArrays
+    train = CTRArrays(data.sparse[:cut], data.dense[:cut],
+                      data.label[:cut], data.counts)
+    test = CTRArrays(data.sparse[cut:], data.dense[cut:],
+                     data.label[cut:], data.counts)
+    print(f"generated in {time.time() - t0:.0f}s; "
+          f"train {len(train)} test {len(test)}", flush=True)
+
+    thr_scale = args.rows / CRITEO_ROWS
+    done = set()
+    out_path = osp.join(REPO, args.out)
+    try:
+        for line in open(out_path):
+            r = json.loads(line)
+            done.add((r["method"], r["cr"], r["rows"]))
+    except FileNotFoundError:
+        pass
+
+    points = [pt for pt in POINTS
+              if args.crs is None or pt[0] in args.crs]
+    grid = []
+    if "full" in args.methods:
+        grid.append(("full", None))
+    for cr, thr, hr in points:
+        for m in args.methods:
+            if m != "full":
+                grid.append((m, (cr, thr, hr)))
+
+    for method, pt in grid:
+        cr, thr, hr = pt if pt else (1.0, 500.0, 0.5)
+        key = (method, cr, args.rows)
+        if key in done:
+            print(f"skip {key} (done)", flush=True)
+            continue
+        cfg = Config(
+            dataset="criteo", model="dlrm", embedding_dim=16,
+            compress_method=None if method == "full" else method,
+            compress_rate=cr,
+            cafe_sketch_threshold=max(thr * thr_scale, 2.0),
+            cafe_hash_rate=hr, learning_rate=0.1,
+            mini_batch_size=args.batch, test_mini_batch_size=16384,
+        )
+        print(f"--- {method} cr={cr} thr={cfg.cafe_sketch_threshold:.1f} "
+              f"hash_rate={hr}", flush=True)
+        res = run_config(cfg, train, test, args.batch)
+        rec = {"method": method, "cr": cr, "rows": args.rows,
+               "zipf": args.zipf,
+               "threshold": round(cfg.cafe_sketch_threshold, 2),
+               "hash_rate": hr, **res}
+        with open(out_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,68 @@ def run_recall(stream, vocab, buckets, threshold, cells, batch):
     return len(ideal & hot) / max(len(ideal), 1), len(hot)
 
 
+def hot_set_plus(state):
+    v1 = np.asarray(state.val1)[np.asarray(state.dic1) != 0]
+    v2 = np.asarray(state.val2)[np.asarray(state.dic2) != 0]
+    return set(v1.tolist()) | set(v2.tolist())
+
+
+def run_recall_plus(stream, vocab, lim, threshold, cells, batch,
+                    adjust=True):
+    """CAFE+ two-tier kernel recall vs the offline ideal top-k — the
+    TOIS'25 headline artifact's oracle protocol (tricks/sketch.cpp's
+    analyse + sketch_expr/sketchtest.py:132-207)."""
+    import jax.numpy as jnp
+    from cafe_tpu.sketch.hotsketch_plus import (CafePlusConfig,
+                                                init_sketch_plus,
+                                                sketch_insert_plus)
+    cfg = CafePlusConfig(lim=lim, threshold=threshold, cells=cells,
+                         adjust_threshold=adjust)
+    st = init_sketch_plus(cfg)
+    inserted = 0
+    for lo in range(0, len(stream), batch):
+        chunk = stream[lo:lo + batch]
+        if len(chunk) < batch:
+            break
+        st, _ = sketch_insert_plus(cfg, st, jnp.asarray(chunk),
+                                   jnp.ones(batch, jnp.float32))
+        inserted = lo + batch
+    counts = np.bincount(stream[:inserted], minlength=vocab)
+    hot = hot_set_plus(st)
+    ideal = set(np.argsort(-counts)[: max(len(hot), 1)].tolist())
+    return (len(ideal & hot) / max(len(ideal), 1), len(hot),
+            float(np.asarray(st.threshold)))
+
+
+def run_tracked(stream, vocab, buckets, threshold, cells, batch,
+                insert_rounds=2):
+    """Droop diagnostic: of the ideal top-k ids, how many are (a) HOT and
+    (b) PRESENT in any cell at all (analyse vs analyse1,
+    tricks/sketch.cpp:314-327). A low (b) means new-id placement is
+    starving (colliders per bucket exceed the resolution rounds)."""
+    import jax.numpy as jnp
+    from cafe_tpu.sketch import (HotSketchConfig, init_sketch,
+                                 sketch_insert)
+    from cafe_tpu.sketch.hotsketch import analyse, analyse_tracked
+    cfg = HotSketchConfig(buckets=buckets, threshold=threshold,
+                          cells=cells, insert_rounds=insert_rounds)
+    st = init_sketch(cfg)
+    inserted = 0
+    for lo in range(0, len(stream), batch):
+        chunk = stream[lo:lo + batch]
+        if len(chunk) < batch:
+            break
+        st, _ = sketch_insert(cfg, st, jnp.asarray(chunk),
+                              jnp.ones(batch, jnp.float32))
+        inserted = lo + batch
+    counts = np.bincount(stream[:inserted], minlength=vocab)
+    hot = hot_set(st)
+    k = max(len(hot), 1)
+    ideal = jnp.asarray(np.argsort(-counts)[:k].astype(np.int32))
+    return (float(analyse(cfg, st, ideal)),
+            float(analyse_tracked(cfg, st, ideal)), len(hot))
+
+
 def run_throughput(stream, buckets, threshold, batch):
     import jax
     import jax.numpy as jnp
@@ -129,10 +191,21 @@ def main(argv=None):
     p.add_argument("--threshold", type=float, default=20.0)
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--cells", type=int, nargs="+", default=[4, 8, 16, 32])
+    p.add_argument("--kernel", choices=["v1", "plus", "both"],
+                   default="both")
+    p.add_argument("--rounds_sweep", action="store_true",
+                   help="insert_rounds x cells droop diagnostic")
+    p.add_argument("--platform", default="",
+                   help="force a backend (e.g. cpu) — the TPU tunnel "
+                        "plugin ignores the JAX_PLATFORMS env var")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     stream = zipf_stream(args.stream_len, args.vocab, args.zipf)
-    out = {"config": vars(args), "recall": {}, "throughput": {}}
+    out = {"config": vars(args), "recall": {}, "recall_plus": {},
+           "throughput": {}}
     for cells in args.cells:
         # constant memory: cells*buckets is held fixed like the reference's
         # memory-budget sweep
@@ -141,6 +214,26 @@ def main(argv=None):
                              cells, args.batch)
         out["recall"][f"cells{cells}"] = {"recall": round(r, 4),
                                           "hot": nhot}
+    if args.kernel in ("plus", "both"):
+        for cells in args.cells:
+            lim = args.buckets * 4 // cells
+            r, nhot, thr = run_recall_plus(stream, args.vocab, lim,
+                                           args.threshold, cells,
+                                           args.batch)
+            out["recall_plus"][f"cells{cells}"] = {
+                "recall": round(r, 4), "hot": nhot,
+                "final_threshold": round(thr, 2)}
+    if args.rounds_sweep:
+        out["rounds_sweep"] = {}
+        for cells in (16, 32):
+            buckets = args.buckets * 4 // cells
+            for rounds in (2, 4, 8):
+                hot_r, tracked_r, nhot = run_tracked(
+                    stream, args.vocab, buckets, args.threshold, cells,
+                    args.batch, insert_rounds=rounds)
+                out["rounds_sweep"][f"cells{cells}_rounds{rounds}"] = {
+                    "recall_hot": round(hot_r, 4),
+                    "recall_tracked": round(tracked_r, 4), "hot": nhot}
     ins_ops, que_ops = run_throughput(stream, args.buckets, args.threshold,
                                       args.batch)
     out["throughput"] = {"insert_ops_per_s": round(ins_ops),
