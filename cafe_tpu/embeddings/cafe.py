@@ -103,14 +103,15 @@ class CafePart(Part):
         (SURVEY.md §7 'Multi-host sketch semantics'). Must be called
         BEFORE init(). CAFE+ (two-tier) falls back to the auto-partitioned
         path for now."""
-        if self.plus:
-            return False
-        from ..sketch.sharded import local_config
+        from ..sketch.sharded import local_config, local_config_plus
         n = int(mesh.devices.size)
         if self.total_rows % n:
             return False
         try:
-            lcfg, s_l = local_config(self.sketch_cfg, n)
+            if self.plus:
+                lcfg, s_l = local_config_plus(self.sketch_cfg, n)
+            else:
+                lcfg, s_l = local_config(self.sketch_cfg, n)
         except ValueError:
             return False
         if s_l < 2:
@@ -119,6 +120,12 @@ class CafePart(Part):
         self.n_shards = n
         self._lcfg = lcfg
         self._s_l = s_l
+        if self.plus:
+            from ..sketch.hotsketch_plus import revert_promotions_plus
+            self._sk_revert = revert_promotions_plus
+        else:
+            from ..sketch.hotsketch import revert_promotions
+            self._sk_revert = revert_promotions
         return True
 
     def init(self, rng: np.random.Generator) -> Dict:
@@ -137,8 +144,11 @@ class CafePart(Part):
                 -scale, scale, size=(hs, self.dim)).astype(np.float32)
             lo += hs
         if self.mesh is not None:
-            from ..sketch.sharded import init_sharded_sketch
-            sketch = init_sharded_sketch(self.sketch_cfg, self.n_shards)
+            from ..sketch.sharded import (init_sharded_sketch,
+                                          init_sharded_sketch_plus)
+            init_fn = init_sharded_sketch_plus if self.plus \
+                else init_sharded_sketch
+            sketch = init_fn(self.sketch_cfg, self.n_shards)
         else:
             sketch = self._sk_init(self.sketch_cfg)
         state = {
@@ -182,17 +192,18 @@ class CafePart(Part):
         from jax.sharding import PartitionSpec as P
         from ..parallel.embedding_parallel import shard_map
         from ..parallel.exchange import AXIS, _owner_rows
-        from ..sketch.hotsketch import INVALID_ID, query_cells
-        from ..sketch.sharded import shard_of
+        from ..sketch.hotsketch import INVALID_ID
+        from ..sketch.sharded import (shard_local_view, shard_of,
+                                      sketch_partition_specs)
 
         n, s_l, lcfg = self.n_shards, self._s_l, self._lcfg
-        nf = len(self.field_idx)
         hsz = jnp.asarray(self.hash_sizes, dtype=jnp.int32)
         hoff = jnp.asarray(self.hash_off, dtype=jnp.int32)
         oids = self._oids(ids)
         sk = state["sketch"]
+        sk_specs = sketch_partition_specs(sk, AXIS)
 
-        def f(tbl, val, cnt, dic, oids_l):
+        def f(tbl, sk_g, oids_l):
             bl, fl = oids_l.shape
             m = bl * fl
             me = jax.lax.axis_index(AXIS)
@@ -200,7 +211,7 @@ class CafePart(Part):
                                           tiled=True)
             mine = shard_of(all_oids, n) == me
             q_ids = jnp.where(mine, all_oids, INVALID_ID)
-            q = query_cells(lcfg, val, cnt, dic, q_ids)
+            q = self._sk_query(lcfg, shard_local_view(sk_g), q_ids)
             slot_g = jnp.where(mine & (q < 0), -q + me * s_l, 0)
             slot_all = jax.lax.psum(slot_g, AXIS)          # [M] global slots
             field = jnp.arange(all_oids.shape[0]) % fl
@@ -216,10 +227,9 @@ class CafePart(Part):
 
         raw, row, is_hot = shard_map(
             f, self.mesh,
-            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
-                      P(AXIS, None), P(AXIS, None)),
+            in_specs=(P(AXIS, None), sk_specs, P(AXIS, None)),
             out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS, None)),
-        )(state["table"], sk.val, sk.cnt, sk.dic, oids)
+        )(state["table"], sk, oids)
         return raw, (oids, row, is_hot)
 
     def apply_grads(self, state: Dict, ids: jnp.ndarray, g_raw: jnp.ndarray,
@@ -294,20 +304,16 @@ class CafePart(Part):
         (n*mig_lanes rows), then dedup + owner-compute sparse update."""
         import jax
         from jax.sharding import PartitionSpec as P
-        from ..ops.sparse import coalesce
+        from ..ops.sparse import coalesce, sparse_adagrad, sparse_sgd
         from ..parallel.embedding_parallel import shard_map
         from ..parallel.exchange import (AXIS, DROP_ROW, _local_idx,
                                          _owner_rows)
-        from ..ops.sparse import sparse_adagrad, sparse_sgd
-        from ..sketch.hotsketch import (HotSketchState, INVALID_ID,
-                                        _bucket_of, push_slots,
-                                        sketch_insert)
+        from ..sketch.hotsketch import INVALID_ID
         from ..sketch.sharded import shard_of
 
         oids, row, is_hot = aux
         b, f, d = g_raw.shape
         n, s_l, lcfg = self.n_shards, self._s_l, self._lcfg
-        cells = lcfg.cells
         p_cap = min(self.mig_lanes, max(s_l - 1, 1))
         goff = jnp.asarray(self.global_offsets, dtype=jnp.int32)
         hsz = jnp.asarray(self.hash_sizes, dtype=jnp.int32)
@@ -323,12 +329,14 @@ class CafePart(Part):
                                   + 1e-30)
 
         sk = state["sketch"]
+        from ..sketch.sharded import (shard_global_view, shard_local_view,
+                                      sketch_partition_specs)
+        sk_specs = sketch_partition_specs(sk, AXIS)
         acc = state.get("table_acc")
         acc_in = acc if acc is not None else jnp.zeros((), jnp.float32)
         acc_spec = P() if sgd else P(AXIS, None)
 
-        def f(tbl, ac, val, cnt, dic, free, ftop, tot,
-              oids_l, row_l, g_l, sc_l):
+        def f(tbl, ac, sk_g, oids_l, row_l, g_l, sc_l):
             bl, fl = oids_l.shape
             m = bl * fl
             me = jax.lax.axis_index(AXIS)
@@ -336,27 +344,17 @@ class CafePart(Part):
             all_oids = jax.lax.all_gather(oids_l.reshape(m), AXIS,
                                           tiled=True)
             all_sc = jax.lax.all_gather(sc_l.reshape(m), AXIS, tiled=True)
-            big_m = all_oids.shape[0]
 
-            # ---- shard-local sketch insert (unchanged v1 kernel) ------
+            # ---- shard-local sketch insert (unchanged kernels) --------
             mine = shard_of(all_oids, n) == me
             q_ids = jnp.where(mine, all_oids, INVALID_ID)
-            st = HotSketchState(val=val, cnt=cnt, dic=dic, free=free,
-                                free_top=ftop[0], tot=tot[0])
-            st, promo = sketch_insert(lcfg, st, q_ids, all_sc)
+            st = shard_local_view(sk_g)
+            st, promo = self._sk_insert(lcfg, st, q_ids, all_sc)
 
             # ---- lossless promotion capping: revert lanes beyond p_cap
             rank = jnp.cumsum(promo.mask.astype(jnp.int32)) - 1
             excess = promo.mask & (rank >= p_cap)
-            h = _bucket_of(lcfg, q_ids)
-            hb = jnp.repeat(h, cells)
-            cell_idx = jnp.tile(jnp.arange(cells), big_m)
-            sp = st.val.shape[0]
-            dic2 = st.dic.at[jnp.where(excess, hb, sp), cell_idx].set(
-                0, mode="drop")
-            free2, ftop2 = push_slots(st.free, st.free_top, promo.slots,
-                                      excess)
-            st = st._replace(dic=dic2, free=free2, free_top=ftop2)
+            st = self._sk_revert(lcfg, st, q_ids, promo, excess)
             keep = promo.mask & ~excess
 
             # ---- compact promotions to p_cap lanes, publish globally --
@@ -396,24 +394,16 @@ class CafePart(Part):
                 tbl, ac = sparse_adagrad(tbl, ac, loc, all_g, lr)
 
             n_promo = jax.lax.psum(keep.sum(dtype=jnp.int32), AXIS)
-            return (tbl, ac, st.val, st.cnt, st.dic, st.free,
-                    st.free_top[None], st.tot[None], n_promo)
+            return tbl, ac, shard_global_view(st), n_promo
 
-        (table, acc_out, val, cnt, dic, free, ftop, tot, n_promo) = \
-            shard_map(
-                f, self.mesh,
-                in_specs=(P(AXIS, None), acc_spec, P(AXIS, None),
-                          P(AXIS, None), P(AXIS, None), P(AXIS),
-                          P(AXIS), P(AXIS), P(AXIS, None), P(AXIS, None),
-                          P(AXIS, None, None), P(AXIS, None)),
-                out_specs=(P(AXIS, None), acc_spec, P(AXIS, None),
-                           P(AXIS, None), P(AXIS, None), P(AXIS),
-                           P(AXIS), P(AXIS), P()),
-            )(state["table"], acc_in, sk.val, sk.cnt, sk.dic, sk.free,
-              sk.free_top, sk.tot, oids, row, g_raw, scores)
+        table, acc_out, new_sk, n_promo = shard_map(
+            f, self.mesh,
+            in_specs=(P(AXIS, None), acc_spec, sk_specs,
+                      P(AXIS, None), P(AXIS, None),
+                      P(AXIS, None, None), P(AXIS, None)),
+            out_specs=(P(AXIS, None), acc_spec, sk_specs, P()),
+        )(state["table"], acc_in, sk, oids, row, g_raw, scores)
 
-        new_sk = HotSketchState(val=val, cnt=cnt, dic=dic, free=free,
-                                free_top=ftop, tot=tot)
         out = {**state, "table": table, "sketch": new_sk}
         if not sgd:
             out["table_acc"] = acc_out
@@ -433,10 +423,10 @@ class CafePart(Part):
         b, f = ids.shape
         oids = self._oids(ids)
         if self.mesh is not None or self.n_shards > 1:
-            from ..sketch.sharded import query_sharded
-            q = query_sharded(self.sketch_cfg, self.n_shards,
-                              state["sketch"],
-                              oids.reshape(-1)).reshape(b, f)
+            from ..sketch.sharded import query_sharded, query_sharded_plus
+            qfn = query_sharded_plus if self.plus else query_sharded
+            q = qfn(self.sketch_cfg, self.n_shards, state["sketch"],
+                    oids.reshape(-1)).reshape(b, f)
         else:
             q = self._sk_query(self.sketch_cfg, state["sketch"],
                                oids.reshape(-1)).reshape(b, f)

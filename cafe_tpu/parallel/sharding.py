@@ -56,20 +56,26 @@ def state_shardings(state: Any, mesh: Mesh, shard_embeddings: bool) -> Any:
         if not shard_embeddings:
             return repl
         name = _leaf_name(path)
-        # shard-local sketch bookkeeping: free_top/tot carry one scalar
-        # per shard ([n]) under the explicit exchange; the single-device
-        # layout keeps them 0-d (replicated)
-        if name in ("free_top", "tot") and leaf.ndim == 1 \
+        # shard-local sketch bookkeeping: free_top/tot (and the CAFE+
+        # adaptive scalars) carry one scalar per shard ([n]) under the
+        # explicit exchange; the single-device layout keeps them 0-d
+        if name in ("free_top", "tot", "threshold", "real_n",
+                    "decay_acc", "step") and leaf.ndim == 1 \
                 and leaf.shape[0] == n:
             return row1d
         if leaf.shape and leaf.shape[0] % n:
             return repl  # not evenly shardable over this mesh
-        if leaf.ndim == 2 and leaf.shape[0] >= _MIN_ROWS and (
-                name in _ROW_SHARDED_2D or name in _SKETCH_2D
-                or name == "dic"):
+        # sketch state always shards when divisible (the explicit
+        # exchange's shard_map specs expect it regardless of size)
+        if leaf.ndim == 2 and name in _SKETCH_2D and leaf.shape[0] >= n:
             return row2d
-        if leaf.ndim == 1 and leaf.shape[0] >= _MIN_ROWS and (
-                name in _ROW_SHARDED_1D or name == "free"):
+        if leaf.ndim == 1 and name == "free" and leaf.shape[0] >= n:
+            return row1d
+        if leaf.ndim == 2 and leaf.shape[0] >= _MIN_ROWS and (
+                name in _ROW_SHARDED_2D or name == "dic"):
+            return row2d
+        if leaf.ndim == 1 and leaf.shape[0] >= _MIN_ROWS and \
+                name in _ROW_SHARDED_1D:
             return row1d
         return repl
 

@@ -296,6 +296,29 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     return new_state, res
 
 
+def revert_promotions(cfg: HotSketchConfig, state: HotSketchState,
+                      ids: jnp.ndarray, promo: InsertResult,
+                      excess: jnp.ndarray) -> HotSketchState:
+    """Undo the promotions on `excess` lanes of an InsertResult: clear the
+    cell's slot and push it back on the free stack. Lossless — the id
+    keeps its count above threshold and re-promotes on its next touch.
+    Used by the sharded step to bound the per-step migration exchange.
+
+    `ids` must be the id array the insert ran on (promo lanes are its
+    [B*cells] candidate grid)."""
+    b = ids.shape[0]
+    c = cfg.cells
+    sp = state.val.shape[0]
+    h = _bucket_of(cfg, ids)
+    hb = jnp.repeat(h, c)
+    cell_idx = jnp.tile(jnp.arange(c), b)
+    dic = state.dic.at[jnp.where(excess, hb, sp), cell_idx].set(
+        0, mode="drop")
+    free, free_top = push_slots(state.free, state.free_top, promo.slots,
+                                excess)
+    return state._replace(dic=dic, free=free, free_top=free_top)
+
+
 def rebuild_free_list(cfg: HotSketchConfig,
                       state: HotSketchState) -> HotSketchState:
     """Rebuild the free stack by scanning slot occupancy — the reference's

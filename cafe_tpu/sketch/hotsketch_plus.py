@@ -238,6 +238,39 @@ def _reset(cfg: CafePlusConfig, st: CafePlusState) -> CafePlusState:
     )
 
 
+def revert_promotions_plus(cfg: CafePlusConfig, st: CafePlusState,
+                           ids: jnp.ndarray, promo: "InsertResult",
+                           excess: jnp.ndarray) -> CafePlusState:
+    """Undo promotions on `excess` lanes: find the cell holding
+    (id, slot) in either tier, clear its slot, push the slot back.
+    Counts/threshold-crossing bookkeeping stay — the id re-promotes on
+    its next touch (used by the sharded step's migration bound)."""
+    ids = promo.ids
+    slots = promo.slots
+    live = excess & promo.mask & (slots != 0)
+    n1p = st.val1.shape[0]
+    n2p = st.val2.shape[0]
+    lanes = jnp.arange(ids.shape[0])
+
+    h1 = _h1(cfg, ids)
+    m1 = live[:, None] & (st.val1[h1] == ids[:, None]) & \
+        (st.dic1[h1] == slots[:, None])
+    in1 = m1.any(axis=1)
+    cell1 = jnp.argmax(m1, axis=1)
+    dic1 = st.dic1.at[jnp.where(in1, h1, n1p), cell1].set(0, mode="drop")
+
+    h2 = _h2(cfg, ids)
+    m2 = live[:, None] & ~in1[:, None] & (st.val2[h2] == ids[:, None]) & \
+        (st.dic2[h2] == slots[:, None])
+    in2 = m2.any(axis=1)
+    cell2 = jnp.argmax(m2, axis=1)
+    dic2 = st.dic2.at[jnp.where(in2, h2, n2p), cell2].set(0, mode="drop")
+
+    free, free_top = _push(st.free, st.free_top, slots,
+                           live & (in1 | in2))
+    return st._replace(dic1=dic1, dic2=dic2, free=free, free_top=free_top)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def sketch_insert_plus(cfg: CafePlusConfig, st: CafePlusState,
                        ids: jnp.ndarray, scores: jnp.ndarray,

@@ -317,3 +317,37 @@ class TestExplicitProductionPath:
         assert not big, (
             f"collectives exceed O(batch)+migration bound {bound}B: "
             + "; ".join(f"{c.op}:{c.result_bytes}B" for c in big[:5]))
+
+    def test_cafe_plus_sharded_runs_and_invariants(self):
+        """CAFE+ (two-tier, adaptive threshold) under the explicit
+        exchange: per-shard thresholds/free lists, global slot
+        uniqueness, finite training."""
+        cfg = self._cfg(cafe_plus=True, cafe_sketch_threshold=3.0)
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        embed, sharded, st, _, _ = self._build_sharded(cfg, train)
+        part = embed.parts[0]
+        assert part.mesh is not None and part.plus
+        for dense, sparse, label, valid in list(
+                batch_iterator(train, 128, drop_last=True))[:25]:
+            st, m = sharded(st, jnp.asarray(dense), jnp.asarray(sparse),
+                            jnp.asarray(label), jnp.asarray(valid))
+        assert np.isfinite(float(m["loss"]))
+        sk = jax.device_get(st.embed["part0"]["sketch"])
+        n, s_l = part.n_shards, part._s_l
+        d1 = np.asarray(sk.dic1).reshape(n, -1)
+        d2 = np.asarray(sk.dic2).reshape(n, -1)
+        ftop = np.asarray(sk.free_top)
+        free = np.asarray(sk.free).reshape(n, s_l)
+        total_hot = 0
+        for s in range(n):
+            used = np.concatenate([d1[s][d1[s] != 0], d2[s][d2[s] != 0]])
+            assert len(np.unique(used)) == len(used), f"shard {s} dup"
+            assert ((used >= 1) & (used < s_l)).all()
+            both = np.concatenate([used, free[s, :ftop[s]]])
+            assert len(np.unique(both)) == len(both)
+            assert len(both) == s_l - 1, f"shard {s} slot leak"
+            total_hot += len(used)
+        assert total_hot > 0, "no promotions happened"
+        # per-shard adaptive thresholds are independent scalars
+        assert np.asarray(sk.threshold).shape == (n,)
