@@ -170,9 +170,12 @@ def main(argv=None):
         if key in done:
             print(f"skip {key} (done)", flush=True)
             continue
+        base_method = {"full": None, "cafe_plus": "cafe"}.get(method,
+                                                              method)
         cfg = Config(
             dataset="criteo", model="dlrm", embedding_dim=16,
-            compress_method=None if method == "full" else method,
+            compress_method=base_method,
+            cafe_plus=(method == "cafe_plus"),
             compress_rate=cr,
             cafe_sketch_threshold=max(thr * thr_scale, 2.0),
             cafe_hash_rate=hr, learning_rate=0.1,
