@@ -351,3 +351,38 @@ class TestExplicitProductionPath:
         assert total_hot > 0, "no promotions happened"
         # per-shard adaptive thresholds are independent scalars
         assert np.asarray(sk.threshold).shape == (n,)
+
+    def test_sharded_checkpoint_roundtrip(self, tmp_path):
+        """Save the explicit-sharded state (per-shard free lists and all),
+        restore into a fresh sharded build, predictions identical."""
+        from cafe_tpu.train.checkpoint import (load_checkpoint,
+                                               save_checkpoint)
+        from cafe_tpu.parallel import shard_train_step
+        cfg = self._cfg()
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        mesh = make_mesh(8)
+        model, embed, state, step, ev = build_all(cfg, train, mesh=mesh)
+        sharded, st = shard_train_step(step, mesh, state,
+                                       shard_embeddings=True)
+        batches = list(batch_iterator(train, 128, drop_last=True))[:12]
+        for dense, sparse, label, valid in batches:
+            st, _ = sharded(st, jnp.asarray(dense), jnp.asarray(sparse),
+                            jnp.asarray(label), jnp.asarray(valid))
+        path = str(tmp_path / "shck")
+        save_checkpoint(path, jax.device_get(st), {"iter": 12, "epoch": 0,
+                                                   "test_acc": 0.0})
+        model2, embed2, fresh, step2, ev2 = build_all(cfg, train, mesh=mesh)
+        restored, extra = load_checkpoint(path, fresh)
+        assert extra["iter"] == 12
+        _, restored = shard_train_step(step2, mesh, restored,
+                                       shard_embeddings=True)
+        dense, sparse, _, _ = batches[0]
+        p1 = ev(jax.device_get(st), jnp.asarray(dense), jnp.asarray(sparse))
+        p2 = ev2(restored, jnp.asarray(dense), jnp.asarray(sparse))
+        np.testing.assert_allclose(np.asarray(jax.device_get(p1)),
+                                   np.asarray(jax.device_get(p2)),
+                                   atol=1e-6)
+        # sketch layout survived: per-shard free_top lanes
+        sk = jax.device_get(restored.embed["part0"]["sketch"])
+        assert np.asarray(sk.free_top).shape == (8,)
