@@ -46,6 +46,10 @@ class Config:
     cafe_plus: bool = False            # use two-tier staged sketch w/ adaptive threshold
     cafe_adjust_threshold: bool = True
     cafe_alpha: float = 1.000001       # lazy-decay growth per batch
+    cafe_mig_lanes: int = 256          # migration-lane budget: per SHARD in the
+                                       # sharded step; x16 (min 4096) on a single
+                                       # device. Promotions beyond it are reverted
+                                       # losslessly and retry on the next touch
     # training
     mini_batch_size: int = 128
     test_mini_batch_size: int = 16384

@@ -106,7 +106,8 @@ def build_embedding_layer(cfg, counts, dim: int,
                         counts[i], opt, cfg.cafe_use_freq,
                         plus=cfg.cafe_plus,
                         adjust_threshold=cfg.cafe_adjust_threshold,
-                        alpha=cfg.cafe_alpha))
+                        alpha=cfg.cafe_alpha,
+                        mig_lanes=getattr(cfg, "cafe_mig_lanes", 256)))
                 else:  # too small for a hot pool -> plain hash fallback
                     parts.append(HashedTablePart(
                         [i], [counts[i]],
@@ -123,7 +124,8 @@ def build_embedding_layer(cfg, counts, dim: int,
                     max_count, opt, cfg.cafe_use_freq,
                     plus=cfg.cafe_plus,
                     adjust_threshold=cfg.cafe_adjust_threshold,
-                    alpha=cfg.cafe_alpha))
+                    alpha=cfg.cafe_alpha,
+                    mig_lanes=getattr(cfg, "cafe_mig_lanes", 256)))
             else:
                 real = [int(np.ceil(counts[i] * cr)) for i in big]
                 parts.append(HashedTablePart(big, [counts[i] for i in big],

@@ -82,19 +82,23 @@ class CafePart(Part):
         self.mig_lanes = int(mig_lanes)
         self.n_shards = 1
         if plus:
+            from ..sketch.hotsketch_plus import revert_promotions_plus
             self.sketch_cfg = CafePlusConfig(
                 lim=self.hotn, threshold=float(sketch_threshold),
                 alpha=float(alpha), adjust_threshold=adjust_threshold)
             self._sk_init = init_sketch_plus
             self._sk_query = sketch_query_plus
             self._sk_insert = sketch_insert_plus
+            self._sk_revert = revert_promotions_plus
         else:
+            from ..sketch.hotsketch import revert_promotions
             self.sketch_cfg = HotSketchConfig(
                 buckets=self.hotn, threshold=float(sketch_threshold),
                 decay=float(sketch_decay))
             self._sk_init = init_sketch
             self._sk_query = sketch_query
             self._sk_insert = sketch_insert
+            self._sk_revert = revert_promotions
 
     def enable_mesh(self, mesh) -> bool:
         """Opt into the explicit SPMD exchange with a SHARD-LOCAL sketch:
@@ -120,12 +124,6 @@ class CafePart(Part):
         self.n_shards = n
         self._lcfg = lcfg
         self._s_l = s_l
-        if self.plus:
-            from ..sketch.hotsketch_plus import revert_promotions_plus
-            self._sk_revert = revert_promotions_plus
-        else:
-            from ..sketch.hotsketch import revert_promotions
-            self._sk_revert = revert_promotions
         return True
 
     def init(self, rng: np.random.Generator) -> Dict:
@@ -248,27 +246,36 @@ class CafePart(Part):
             scores = norms * b / (jnp.sum(norms, axis=0, keepdims=True)
                                   + 1e-30)
 
+        flat_oids = oids.reshape(-1)
         sk, promo = self._sk_insert(self.sketch_cfg, state["sketch"],
-                                    oids.reshape(-1), scores.reshape(-1))
+                                    flat_oids, scores.reshape(-1))
 
         # compact the promotion lanes before computing migration rows: the
-        # v1 sketch reports candidates over the [B*cells] grid but a single
-        # insert can promote at most hotn-1 ids (the free-slot bound), so a
-        # cumsum scatter-compaction to [hotn] lanes is lossless and cuts the
-        # migration gather/scatter work by ~B*cells/hotn
+        # v1 sketch reports candidates over the [B*cells] grid, so without
+        # a cap the migration gather/scatter runs over L lanes of dim-wide
+        # rows (at CriteoTB shapes, 213k x 128 x 4B x 2 ~ 218 MB/step —
+        # measured 43% of the whole step). Cap at mig_lanes and REVERT the
+        # excess promotions losslessly (slot returned, cell de-promoted;
+        # the id re-promotes on its next touch) — the same mechanism the
+        # sharded path uses to bound its migration exchange.
         L = promo.ids.shape[0]
-        cap = min(L, self.hotn)
+        cap = min(L, self.hotn, max(self.mig_lanes * 16, 4096))
+        mask = promo.mask
         if cap < L:
-            rank = jnp.cumsum(promo.mask.astype(jnp.int32)) - 1
-            pos = jnp.where(promo.mask, jnp.clip(rank, 0, cap - 1), cap)
+            rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            excess = mask & (rank >= cap)
+            sk = self._sk_revert(self.sketch_cfg, sk, flat_oids, promo,
+                                 excess)
+            mask = mask & ~excess
+            pos = jnp.where(mask, jnp.clip(rank, 0, cap - 1), cap)
             p_ids = jnp.zeros(cap + 1, jnp.int32).at[pos].set(
                 promo.ids, mode="drop")[:cap]
             p_slots = jnp.zeros(cap + 1, jnp.int32).at[pos].set(
                 promo.slots, mode="drop")[:cap]
             p_mask = jnp.zeros(cap + 1, bool).at[pos].set(
-                promo.mask, mode="drop")[:cap]
+                mask, mode="drop")[:cap]
         else:
-            p_ids, p_slots, p_mask = promo.ids, promo.slots, promo.mask
+            p_ids, p_slots, p_mask = promo.ids, promo.slots, mask
 
         # migration BEFORE the optimizer touches the cold rows, matching the
         # reference's insert_grad-then-step ordering (main.py:376-377).
@@ -290,7 +297,7 @@ class CafePart(Part):
                                    g_raw.reshape(b * f, d), lr)
 
         stats = {
-            "cafe_promotions": promo.mask.sum(),
+            "cafe_promotions": mask.sum(),
             "cafe_hot_frac": is_hot.mean(),
         }
         return state, stats
