@@ -124,13 +124,24 @@ def run_tracked(stream, vocab, buckets, threshold, cells, batch,
 
 
 def run_throughput(stream, buckets, threshold, batch):
+    """Insert/query ops/s of the jitted kernels, measured as chained
+    ASYNC dispatches (state threads through; dispatch latency pipelines
+    behind device work, so this measures kernel throughput on the target
+    backend — run it with the TPU backend for the artifact number).
+
+    Runtime gotcha discovered while tuning this (docs/PERF.md): on the
+    current experimental single-chip runtime, an executable that embeds a
+    device-array CONSTANT (a closed-over jnp array) or feeds the kernel
+    from an in-program slice of a batched argument runs ~50x slower than
+    the identical kernel taking direct parameters (2.7 ms vs 47 us per
+    insert measured). Everything here passes arrays as direct args."""
     import jax
     import jax.numpy as jnp
     from cafe_tpu.sketch import (HotSketchConfig, init_sketch,
                                  sketch_insert, sketch_query)
     cfg = HotSketchConfig(buckets=buckets, threshold=threshold)
     st = init_sketch(cfg)
-    n_chunks = min(50, len(stream) // batch)
+    n_chunks = min(100, len(stream) // batch)
     if n_chunks == 0:
         return 0.0, 0.0
     chunks = [jnp.asarray(stream[lo * batch:(lo + 1) * batch])
@@ -146,8 +157,8 @@ def run_throughput(stream, buckets, threshold, batch):
     ins_ops = batch * len(chunks) / (time.time() - t0)
 
     q = jax.jit(lambda s, i: sketch_query(cfg, s, i))
-    _ = q(st, chunks[0])
-    jax.block_until_ready(_)
+    out = q(st, chunks[0])
+    jax.block_until_ready(out)
     t0 = time.time()
     for c in chunks:
         out = q(st, c)
