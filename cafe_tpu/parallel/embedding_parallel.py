@@ -1,4 +1,10 @@
-"""Explicit SPMD embedding exchange (shard_map + collectives).
+"""Explicit SPMD embedding exchange — pedagogical/demo module.
+
+SUPERSEDED for production use by parallel/exchange.py (round 2), which
+integrates this pattern — plus dedup, Adagrad, and the shard-local
+sketch — into the real train step with HLO-verified traffic. This module
+remains as the minimal, single-table illustration of the exchange and is
+exercised by tests/test_sharding.py::TestExplicitExchange.
 
 The pjit path (parallel/sharding.py) lets the XLA SPMD partitioner derive
 collectives from sharding annotations — always correct, occasionally

@@ -173,12 +173,3 @@ def query_sharded(cfg: HotSketchConfig, n: int, st: HotSketchState,
     return jnp.where(slot > 0, -slot, ids)
 
 
-def local_view(st: HotSketchState) -> HotSketchState:
-    """Inside shard_map: squeeze the per-shard scalar lanes back to the
-    scalar shapes the v1 kernel expects (free_top/tot arrive as [1])."""
-    return st._replace(free_top=st.free_top[0], tot=st.tot[0])
-
-
-def global_view(st: HotSketchState) -> HotSketchState:
-    """Inverse of local_view for shard_map outputs."""
-    return st._replace(free_top=st.free_top[None], tot=st.tot[None])
