@@ -102,11 +102,10 @@ class CafePart(Part):
 
     def enable_mesh(self, mesh) -> bool:
         """Opt into the explicit SPMD exchange with a SHARD-LOCAL sketch:
-        ids route to shards by hash(id) % n, each shard runs the v1 kernel
-        on its own bucket/free-list slice, promotions stay device-local
-        (SURVEY.md §7 'Multi-host sketch semantics'). Must be called
-        BEFORE init(). CAFE+ (two-tier) falls back to the auto-partitioned
-        path for now."""
+        ids route to shards by hash(id) % n, each shard runs the unchanged
+        kernel (v1 or CAFE+) on its own bucket/free-list slice with its
+        own adaptive threshold, promotions stay device-local (SURVEY.md §7
+        'Multi-host sketch semantics'). Must be called BEFORE init()."""
         from ..sketch.sharded import local_config, local_config_plus
         n = int(mesh.devices.size)
         if self.total_rows % n:

@@ -105,10 +105,15 @@ def run_config(cfg, train, test, batch: int):
             [float(h) for h in hot_fracs[-10:]])), 4)
     if "part0" in state.embed and "sketch" in state.embed.get("part0", {}):
         sk = state.embed["part0"]["sketch"]
-        if hasattr(sk, "free_top"):
-            cap = sk.free.shape[0]
-            out["slots_used"] = int(cap - 1 - int(np.asarray(sk.free_top)))
-            out["slot_capacity"] = cap - 1
+        part = next((p for p in embed.parts if hasattr(p, "sketch_cfg")),
+                    None)
+        if hasattr(sk, "free_top") and part is not None:
+            # REAL capacity is buckets-1 (v1) / lim-1 (CAFE+), not the
+            # ROW_ALIGN-padded free-stack length (hot_fraction's model)
+            cap = (part.sketch_cfg.lim if part.plus
+                   else part.sketch_cfg.buckets) - 1
+            out["slots_used"] = int(cap - int(np.asarray(sk.free_top)))
+            out["slot_capacity"] = cap
     return out
 
 

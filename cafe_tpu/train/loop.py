@@ -196,10 +196,13 @@ def run(cfg: Config) -> Dict:
     train_data = get_dataset(cfg, "train")
     test_data = get_dataset(cfg, "test")
     mesh = None
-    if cfg.mesh_shape is not None or cfg.shard_embeddings:
+    if cfg.mesh_shape is not None or cfg.shard_embeddings \
+            or jax.process_count() > 1:
         # SPMD over the device mesh: DP dense towers + (optionally)
         # row-sharded tables and shard-local sketch. New capability vs the
         # reference (SURVEY.md §2.6: it has no distributed execution).
+        # Multi-process runs ALWAYS need the mesh (per-process batch
+        # feeding shards over it), even DP-only ones.
         from ..parallel import make_mesh
         mesh = make_mesh(cfg.mesh_shape)
         n = mesh.devices.size
@@ -257,7 +260,7 @@ def run(cfg: Config) -> Dict:
             from .step import build_quantized_eval_step
             eval_step = build_quantized_eval_step(model, embed, state,
                                                   cfg.quantize_emb_bits)
-        metrics, _ = inference(cfg, eval_step, state, test_data)
+        metrics, _ = inference(cfg, eval_step, state, test_data, mesh=mesh)
         print(" ".join(f"{k}={v:.5f}" for k, v in metrics.items()),
               flush=True)
         logger.close()

@@ -78,3 +78,27 @@ def test_two_process_mesh_matches_single_process():
     assert a0 and ar, "eval line missing"
     assert float(a0.group(1)) == pytest.approx(float(ar.group(1)),
                                                abs=0.5)
+
+
+@pytest.mark.timeout(600)
+def test_two_process_dp_only_builds_mesh():
+    """Multi-process WITHOUT --shard_embeddings must still build the
+    global mesh for per-process feeding (review finding: it crashed in
+    NamedSharding(None, ...))."""
+    port = "localhost:12402"
+    flags = [f if f != "true" else "false" for f in FLAGS]  # shard off
+    procs = []
+    for i in range(2):
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "main.py")] + flags
+            + ["--dist_num_processes", "2", "--dist_process_id", str(i),
+               "--dist_coordinator", port],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    for p in procs:
+        out, _ = p.communicate(timeout=480)
+        assert p.returncode == 0, out[-3000:]
+        assert _losses(out), "no training output"
