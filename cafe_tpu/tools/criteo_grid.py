@@ -117,6 +117,56 @@ def run_config(cfg, train, test, batch: int):
     return out
 
 
+def plot_grid(jsonl_path: str, out_png: str) -> None:
+    """Metric-vs-cr figure (reference contract: plot_metric_cr.py's
+    method curves against the ideal line). Colors are the first slots of
+    a CVD-validated categorical order; the ideal is a neutral dashed
+    reference line, direct labels sit at the tight-compression end."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rows = [json.loads(l) for l in open(jsonl_path)]
+    series = {}
+    for r in rows:
+        series.setdefault(r["method"], {})[r["cr"]] = r["auc"]
+    fig, ax = plt.subplots(figsize=(6.8, 4.2), dpi=150)
+    full_auc = series.get("full", {}).get(1.0)
+    if full_auc:
+        ax.axhline(full_auc, color="#8a8a8a", lw=1.5, ls="--", zorder=1)
+        ax.annotate(f"ideal (full table) {full_auc:.3f}",
+                    xy=(0.03, full_auc), xytext=(0, -11),
+                    textcoords="offset points", fontsize=8,
+                    color="#555555")
+    colors = {"cafe": "#2a78d6", "hash": "#eb6834", "cafe_plus": "#1baf7a"}
+    names = {"cafe": "CAFE", "hash": "Hash", "cafe_plus": "CAFE+"}
+    offs = {"cafe": (10, -3), "hash": (10, -3), "cafe_plus": (10, -12)}
+    for m in ("cafe", "cafe_plus", "hash"):
+        if m not in series:
+            continue
+        pts = sorted((cr, auc) for cr, auc in series[m].items() if cr < 1.0)
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        ax.plot(xs, ys, color=colors[m], lw=2, marker="o", ms=5,
+                label=names[m], zorder=3)
+        ax.annotate(names[m], xy=(xs[0], ys[0]), xytext=offs[m],
+                    textcoords="offset points", fontsize=9,
+                    color="#333333")
+    ax.set_xscale("log")
+    ax.invert_xaxis()
+    ax.set_xlim(0.2, 4.5e-5)
+    ax.set_xlabel("compression rate (log, decreasing →)")
+    ax.set_ylabel("test AUC")
+    ax.set_title("Criteo-scale synthetic stream (26 real vocabularies, "
+                 "Σ=33.76M ids)", fontsize=10)
+    ax.grid(True, which="both", color="#e6e6e6", lw=0.6, zorder=0)
+    ax.spines[["top", "right"]].set_visible(False)
+    ax.legend(frameon=False, fontsize=9, loc="lower left")
+    fig.tight_layout()
+    fig.savefig(out_png)
+    print(f"wrote {out_png}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--rows", type=int, default=4_194_304)
@@ -129,7 +179,13 @@ def main(argv=None):
                    help="subset of the grid's compress rates")
     p.add_argument("--out", default="docs/criteo_grid.jsonl")
     p.add_argument("--platform", default="")
+    p.add_argument("--plot", default="",
+                   help="render the metric-vs-cr figure from --out to "
+                        "this path and exit")
     args = p.parse_args(argv)
+    if args.plot:
+        plot_grid(osp.join(REPO, args.out), args.plot)
+        return
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)

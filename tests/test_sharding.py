@@ -290,6 +290,17 @@ class TestExplicitProductionPath:
             f"collectives exceed the O(batch) bound {bound}B "
             f"(table={table_bytes}B): "
             + "; ".join(f"{c.op}:{c.result_bytes}B" for c in big[:5]))
+        # bytes-moved model check (PERF.md): per step the embedding
+        # exchange moves ~ ids AG (M*4) + rows psum_scatter (M*D*4) +
+        # grads AG (M*(D+?)*4); the TOTAL across all collectives must stay
+        # within a small multiple of model + DP tower traffic — a
+        # quadratic/table-sized regression would blow through this even
+        # if each individual op snuck under the per-op bound
+        total = sum(c.result_bytes for c in stats)
+        model_bytes = m_ids * 4 + 2 * m_ids * 16 * 4   # ids + fwd/bwd rows
+        assert total <= 8 * (model_bytes + dense_bytes), (
+            f"total collective bytes {total} >> model "
+            f"{model_bytes}+{dense_bytes}")
 
     def test_hlo_cafe_no_table_sized_collectives(self):
         from cafe_tpu.tools.hlo_traffic import collective_stats
