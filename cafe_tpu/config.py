@@ -71,6 +71,10 @@ class Config:
     # io
     save_model: str = ""
     load_model: str = ""
+    save_freq: int = 0                 # ALSO save a rolling "<save_model>.latest"
+                                       # every N iterations (preemption safety;
+                                       # the reference only saves on best
+                                       # accuracy, main.py:449-462)
     tensor_board_filename: str = "run_tpu"
     # synthetic dataset knobs (test backbone; reference analogue is the dead
     # RandomDataset path, dlrm_data_pytorch.py:759-872)

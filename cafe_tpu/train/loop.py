@@ -347,6 +347,15 @@ def run(cfg: Config) -> Dict:
                 total_loss = jnp.zeros((), jnp.float32)
                 total_samp, total_iter = 0.0, 0
 
+            # rolling preemption-safety checkpoint (in addition to the
+            # best-accuracy saves below); resume is exact-batch via the
+            # saved iter counter
+            if cfg.save_freq > 0 and cfg.save_model and \
+                    (eff_it % cfg.save_freq < k_disp or eff_it == nbatches):
+                save_checkpoint(cfg.save_model + ".latest", state, {
+                    "test_acc": best_acc, "epoch": ep, "iter": eff_it,
+                })
+
             if should_test or (cfg.test_throughput
                                and eff_it >= 2 * cfg.print_freq):
                 if cfg.test_throughput:
