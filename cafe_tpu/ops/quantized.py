@@ -26,6 +26,7 @@ class QuantizedTable(NamedTuple):
 
 def quantize_rowwise(table: jnp.ndarray, bits: int = 8) -> QuantizedTable:
     assert bits in (4, 8)
+    table = jnp.asarray(table)  # host pytrees welcome (post-device_get)
     levels = (1 << bits) - 1
     lo = table.min(axis=1, keepdims=True)
     hi = table.max(axis=1, keepdims=True)

@@ -397,3 +397,28 @@ class TestExplicitProductionPath:
         # sketch layout survived: per-shard free_top lanes
         sk = jax.device_get(restored.embed["part0"]["sketch"])
         assert np.asarray(sk.free_top).shape == (8,)
+
+    def test_quantized_serving_of_sharded_state(self):
+        """int8 serving a sharded-trained CAFE state: the sharded-layout
+        sketch query (query_sharded) must route identically to the
+        training-path gather."""
+        from cafe_tpu.train.step import build_quantized_eval_step
+        cfg = self._cfg()
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        embed, sharded, st, ev, mesh = self._build_sharded(cfg, train)
+        batches = list(batch_iterator(train, 128, drop_last=True))[:15]
+        for dense, sparse, label, valid in batches:
+            st, _ = sharded(st, jnp.asarray(dense), jnp.asarray(sparse),
+                            jnp.asarray(label), jnp.asarray(valid))
+        host_state = jax.device_get(st)
+        model = None  # rebuild for the eval fns
+        from cafe_tpu.train.loop import build_all
+        model2, embed2, _, _, ev2 = build_all(cfg, train, mesh=mesh)
+        q8 = build_quantized_eval_step(model2, embed2, host_state, 8)
+        dense, sparse, label, valid = batches[0]
+        p_f = np.asarray(jax.device_get(
+            ev(st, jnp.asarray(dense), jnp.asarray(sparse))))
+        p_q = np.asarray(jax.device_get(
+            q8(host_state, jnp.asarray(dense), jnp.asarray(sparse))))
+        assert np.abs(p_f - p_q).mean() < 0.01
