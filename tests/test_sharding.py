@@ -422,3 +422,22 @@ class TestExplicitProductionPath:
         p_q = np.asarray(jax.device_get(
             q8(host_state, jnp.asarray(dense), jnp.asarray(sparse))))
         assert np.abs(p_f - p_q).mean() < 0.01
+
+    def test_separate_field_sharded(self):
+        """--cafe_hot_separate_field builds one CafePart (and sketch) per
+        field; each shards independently under the explicit exchange."""
+        cfg = self._cfg(cafe_hot_separate_field=True, vocab=40000,
+                        synthetic_vocab_spread=0.5)
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        embed, sharded, st, _, _ = self._build_sharded(cfg, train)
+        from cafe_tpu.embeddings.cafe import CafePart
+        cafe_parts = [p for p in embed.parts if isinstance(p, CafePart)]
+        assert len(cafe_parts) > 1
+        assert all(p.mesh is not None for p in cafe_parts)
+        for dense, sparse, label, valid in list(
+                batch_iterator(train, 128, drop_last=True))[:6]:
+            st, m = sharded(st, jnp.asarray(dense), jnp.asarray(sparse),
+                            jnp.asarray(label), jnp.asarray(valid))
+        assert np.isfinite(float(m["loss"]))
+        assert 0.0 <= float(m["cafe_hot_frac"]) <= 1.0
