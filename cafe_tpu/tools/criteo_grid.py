@@ -244,7 +244,12 @@ def main(argv=None):
         )
         print(f"--- {method} cr={cr} thr={cfg.cafe_sketch_threshold:.1f} "
               f"hash_rate={hr}", flush=True)
-        res = run_config(cfg, train, test, args.batch)
+        try:
+            res = run_config(cfg, train, test, args.batch)
+        except Exception as e:  # e.g. qr sizing below its operating floor
+            print(f"SKIP {method} cr={cr}: {type(e).__name__}: {e}",
+                  flush=True)
+            continue
         rec = {"method": method, "cr": cr, "rows": args.rows,
                "zipf": args.zipf,
                "threshold": round(cfg.cafe_sketch_threshold, 2),
