@@ -138,10 +138,13 @@ def plot_grid(jsonl_path: str, out_png: str) -> None:
                     xy=(0.03, full_auc), xytext=(0, -11),
                     textcoords="offset points", fontsize=8,
                     color="#555555")
-    colors = {"cafe": "#2a78d6", "hash": "#eb6834", "cafe_plus": "#1baf7a"}
-    names = {"cafe": "CAFE", "hash": "Hash", "cafe_plus": "CAFE+"}
-    offs = {"cafe": (10, -3), "hash": (10, -3), "cafe_plus": (10, -12)}
-    for m in ("cafe", "cafe_plus", "hash"):
+    colors = {"cafe": "#2a78d6", "hash": "#eb6834", "cafe_plus": "#1baf7a",
+              "off": "#eda100", "qr": "#e87ba4"}
+    names = {"cafe": "CAFE", "hash": "Hash", "cafe_plus": "CAFE+",
+             "off": "Off (oracle)", "qr": "QR"}
+    offs = {"cafe": (10, -3), "hash": (10, -3), "cafe_plus": (10, -12),
+            "off": (10, 2), "qr": (10, -10)}
+    for m in ("cafe", "cafe_plus", "off", "qr", "hash"):
         if m not in series:
             continue
         pts = sorted((cr, auc) for cr, auc in series[m].items() if cr < 1.0)
