@@ -441,3 +441,18 @@ class TestExplicitProductionPath:
                             jnp.asarray(label), jnp.asarray(valid))
         assert np.isfinite(float(m["loss"]))
         assert 0.0 <= float(m["cafe_hot_frac"]) <= 1.0
+
+    def test_cafe_adagrad_sharded(self):
+        """CAFE + Adagrad under the explicit exchange: accumulator
+        row-shards and updates owner-compute; loss finite, slots sane."""
+        cfg = self._cfg(optimizer="adagrad")
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        embed, sharded, st, _, _ = self._build_sharded(cfg, train)
+        for dense, sparse, label, valid in list(
+                batch_iterator(train, 128, drop_last=True))[:8]:
+            st, m = sharded(st, jnp.asarray(dense), jnp.asarray(sparse),
+                            jnp.asarray(label), jnp.asarray(valid))
+        assert np.isfinite(float(m["loss"]))
+        acc = np.asarray(jax.device_get(st.embed["part0"]["table_acc"]))
+        assert (acc >= 0).all() and acc.sum() > 0
