@@ -127,6 +127,17 @@ def plot_grid(jsonl_path: str, out_png: str) -> None:
     import matplotlib.pyplot as plt
 
     rows = [json.loads(l) for l in open(jsonl_path)]
+    # only rows from ONE (rows, zipf) experiment are comparable; plot the
+    # largest group and say what was dropped
+    groups = {}
+    for r in rows:
+        groups.setdefault((r["rows"], r["zipf"]), []).append(r)
+    key = max(groups, key=lambda k: len(groups[k]))
+    dropped = len(rows) - len(groups[key])
+    if dropped:
+        print(f"note: dropping {dropped} rows from other (rows, zipf) "
+              f"configs; plotting {key}")
+    rows = groups[key]
     series = {}
     for r in rows:
         series.setdefault(r["method"], {})[r["cr"]] = r["auc"]
@@ -144,20 +155,29 @@ def plot_grid(jsonl_path: str, out_png: str) -> None:
              "off": "Off (oracle)", "qr": "QR"}
     offs = {"cafe": (10, -3), "hash": (10, -3), "cafe_plus": (10, -12),
             "off": (10, 2), "qr": (10, -10)}
-    for m in ("cafe", "cafe_plus", "off", "qr", "hash"):
-        if m not in series:
-            continue
+    fallback = ["#4a3aa7", "#008300", "#e34948"]  # later categorical slots
+    order = [m for m in ("cafe", "cafe_plus", "off", "qr", "hash")
+             if m in series] + sorted(m for m in series
+                                      if m not in names and m != "full")
+    all_crs = []
+    for m in order:
         pts = sorted((cr, auc) for cr, auc in series[m].items() if cr < 1.0)
+        if not pts:
+            continue
         xs = [p[0] for p in pts]
         ys = [p[1] for p in pts]
-        ax.plot(xs, ys, color=colors[m], lw=2, marker="o", ms=5,
-                label=names[m], zorder=3)
-        ax.annotate(names[m], xy=(xs[0], ys[0]), xytext=offs[m],
+        all_crs += xs
+        color = colors.get(m) or fallback[hash(m) % len(fallback)]
+        ax.plot(xs, ys, color=color, lw=2, marker="o", ms=5,
+                label=names.get(m, m), zorder=3)
+        ax.annotate(names.get(m, m), xy=(xs[0], ys[0]),
+                    xytext=offs.get(m, (10, -3)),
                     textcoords="offset points", fontsize=9,
                     color="#333333")
     ax.set_xscale("log")
     ax.invert_xaxis()
-    ax.set_xlim(0.2, 4.5e-5)
+    if all_crs:
+        ax.set_xlim(max(all_crs) * 2.0, min(all_crs) / 2.2)
     ax.set_xlabel("compression rate (log, decreasing →)")
     ax.set_ylabel("test AUC")
     ax.set_title("Criteo-scale synthetic stream (26 real vocabularies, "
@@ -228,6 +248,7 @@ def main(argv=None):
             if m != "full":
                 grid.append((m, (cr, thr, hr)))
 
+    skipped = []
     for method, pt in grid:
         cr, thr, hr = pt if pt else (1.0, 500.0, 0.5)
         key = (method, cr, args.rows)
@@ -252,6 +273,7 @@ def main(argv=None):
         except Exception as e:  # e.g. qr sizing below its operating floor
             print(f"SKIP {method} cr={cr}: {type(e).__name__}: {e}",
                   flush=True)
+            skipped.append((method, cr, f"{type(e).__name__}: {e}"))
             continue
         rec = {"method": method, "cr": cr, "rows": args.rows,
                "zipf": args.zipf,
@@ -260,6 +282,11 @@ def main(argv=None):
         with open(out_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
+    if skipped:
+        # a silently thinner grid reads as "covered everything" — fail
+        # loudly so regressions can't hide behind SKIP lines
+        print(f"{len(skipped)} config(s) FAILED: {skipped}", flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

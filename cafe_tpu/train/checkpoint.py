@@ -21,19 +21,45 @@ import orbax.checkpoint as ocp
 from .step import TrainState
 
 
+def _atomic_json(path: str, data: Dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(path: str, state: TrainState, extra: Dict) -> None:
     path = osp.abspath(path)
     os.makedirs(osp.dirname(path) or ".", exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, _to_pytree(state), force=True)
-    with open(path + ".meta.json", "w") as f:
-        json.dump(extra, f)
+    _atomic_json(path + ".meta.json", extra)
+
+
+def save_rolling(path: str, state: TrainState, extra: Dict) -> None:
+    """Crash-safe rolling save for preemption recovery: writes alternate
+    slots <path>.ra / <path>.rb and atomically flips the <path>.latest
+    symlink only AFTER the slot (checkpoint + meta) is fully on disk —
+    the previous slot stays valid through the entire save, so a kill at
+    any instant leaves a loadable `.latest`."""
+    path = osp.abspath(path)
+    latest = path + ".latest"
+    cur = os.path.realpath(latest) if osp.islink(latest) else ""
+    slot = path + (".rb" if cur.endswith(".ra") else ".ra")
+    save_checkpoint(slot, state, extra)
+    tmp_link = latest + ".lnk"
+    if osp.lexists(tmp_link):
+        os.remove(tmp_link)
+    os.symlink(osp.basename(slot), tmp_link)
+    os.replace(tmp_link, latest)
 
 
 def load_checkpoint(path: str, state: TrainState
                     ) -> Tuple[TrainState, Dict]:
-    """Restore into the structure of `state` (shapes must match)."""
-    path = osp.abspath(path)
+    """Restore into the structure of `state` (shapes must match).
+    Symlinks (e.g. a rolling `.latest`) are resolved first so the meta
+    sidecar is found next to the real slot."""
+    path = os.path.realpath(osp.abspath(path))
     with ocp.StandardCheckpointer() as ckptr:
         st = ckptr.restore(path, _to_pytree(state))
     extra: Dict = {}

@@ -349,10 +349,12 @@ def run(cfg: Config) -> Dict:
 
             # rolling preemption-safety checkpoint (in addition to the
             # best-accuracy saves below); resume is exact-batch via the
-            # saved iter counter
+            # saved iter counter. Crash-safe: alternate slots + atomic
+            # symlink flip (see checkpoint.save_rolling)
             if cfg.save_freq > 0 and cfg.save_model and \
                     (eff_it % cfg.save_freq < k_disp or eff_it == nbatches):
-                save_checkpoint(cfg.save_model + ".latest", state, {
+                from .checkpoint import save_rolling
+                save_rolling(cfg.save_model, state, {
                     "test_acc": best_acc, "epoch": ep, "iter": eff_it,
                 })
 

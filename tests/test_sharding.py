@@ -412,7 +412,6 @@ class TestExplicitProductionPath:
             st, _ = sharded(st, jnp.asarray(dense), jnp.asarray(sparse),
                             jnp.asarray(label), jnp.asarray(valid))
         host_state = jax.device_get(st)
-        model = None  # rebuild for the eval fns
         from cafe_tpu.train.loop import build_all
         model2, embed2, _, _, ev2 = build_all(cfg, train, mesh=mesh)
         q8 = build_quantized_eval_step(model2, embed2, host_state, 8)
