@@ -44,17 +44,34 @@ def timed(fn, state, batches, steps=300, warmup=20):
 
 
 def main():
+    import argparse
+
     from cafe_tpu.config import Config
     from cafe_tpu.train.loop import build_all
     from bench import BATCH, make_criteo_batches
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shapes", choices=["criteo", "criteotb"],
+                    default="criteo",
+                    help="criteo: dim 16 bench protocol; criteotb: dim 128"
+                         " + the big towers at cr=0.1 (the latency-"
+                         "protocol config that exposed the migration-cap"
+                         " win, docs/PERF.md)")
+    args = ap.parse_args()
+
     train_data, batches = make_criteo_batches()
 
+    if args.shapes == "criteotb":
+        grid = [("cafe", "cafe", 0.1), ("hash", "hash", 0.1)]
+        dim, dataset = 128, "criteotb"
+    else:
+        grid = [("cafe", "cafe", 0.001), ("hash", "hash", 0.001),
+                ("full", None, 1.0)]
+        dim, dataset = 16, "criteo"
+
     results = {}
-    for name, method, cr in [("cafe", "cafe", 0.001),
-                             ("hash", "hash", 0.001),
-                             ("full", None, 1.0)]:
-        cfg = Config(dataset="criteo", model="dlrm", embedding_dim=16,
+    for name, method, cr in grid:
+        cfg = Config(dataset=dataset, model="dlrm", embedding_dim=dim,
                      compress_method=method, compress_rate=cr,
                      cafe_sketch_threshold=500.0, cafe_hash_rate=0.5,
                      mini_batch_size=BATCH, learning_rate=0.1,
