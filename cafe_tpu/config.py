@@ -46,6 +46,11 @@ class Config:
     cafe_plus: bool = False            # use two-tier staged sketch w/ adaptive threshold
     cafe_adjust_threshold: bool = True
     cafe_alpha: float = 1.000001       # lazy-decay growth per batch
+    cafe_plus_inherit: bool = False    # staging evictions pass their count to
+                                       # the newcomer (v1's Space-Saving rule;
+                                       # OFF = reference CAFE+ semantics).
+                                       # Rescues CAFE+ at extreme compression
+                                       # (see docs/EXPERIMENTS.md)
     cafe_mig_lanes: int = 256          # migration-lane budget: per SHARD in the
                                        # sharded step; x16 (min 4096) on a single
                                        # device. Promotions beyond it are reverted

@@ -107,7 +107,9 @@ def build_embedding_layer(cfg, counts, dim: int,
                         plus=cfg.cafe_plus,
                         adjust_threshold=cfg.cafe_adjust_threshold,
                         alpha=cfg.cafe_alpha,
-                        mig_lanes=getattr(cfg, "cafe_mig_lanes", 256)))
+                        mig_lanes=getattr(cfg, "cafe_mig_lanes", 256),
+                        plus_inherit=getattr(cfg, "cafe_plus_inherit",
+                                             False)))
                 else:  # too small for a hot pool -> plain hash fallback
                     parts.append(HashedTablePart(
                         [i], [counts[i]],
@@ -125,7 +127,9 @@ def build_embedding_layer(cfg, counts, dim: int,
                     plus=cfg.cafe_plus,
                     adjust_threshold=cfg.cafe_adjust_threshold,
                     alpha=cfg.cafe_alpha,
-                    mig_lanes=getattr(cfg, "cafe_mig_lanes", 256)))
+                    mig_lanes=getattr(cfg, "cafe_mig_lanes", 256),
+                    plus_inherit=getattr(cfg, "cafe_plus_inherit",
+                                         False)))
             else:
                 real = [int(np.ceil(counts[i] * cr)) for i in big]
                 parts.append(HashedTablePart(big, [counts[i] for i in big],

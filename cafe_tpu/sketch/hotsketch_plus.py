@@ -49,6 +49,13 @@ class CafePlusConfig(NamedTuple):
     adjust_threshold: bool = True
     cells: int = 4
     insert_rounds: int = 2
+    # OPT-IN deviation from the reference: a newcomer displacing a
+    # DISCARDED staging victim inherits its count (v1's Space-Saving
+    # rule, AE sketch.cpp:113-124). The reference's insertLRU starts
+    # newcomers from their own count (tricks/sketch.cpp:199-203), which
+    # starves mid-band ids at extreme compression — every eviction
+    # throws their accumulated evidence away. Off by default for parity.
+    inherit: bool = False
 
     @property
     def n1(self) -> int:
@@ -413,17 +420,23 @@ def sketch_insert_plus(cfg: CafePlusConfig, st: CafePlusState,
     vic_dic_l = jnp.where(vic_move, vdic, 0)
 
     hw = jnp.where(placed, h2, n2p)
+    new_cnt2 = uscore
+    if cfg.inherit:
+        # inherit only from victims whose count is DISCARDED (not moved
+        # to the main tier — those counts live on there)
+        new_cnt2 = uscore + jnp.where(occupied_v & ~vic_move, vcnt, 0.0)
     val2 = val2.at[hw, placed_cell].set(sid, mode="drop")
-    cnt2 = cnt2.at[hw, placed_cell].set(uscore, mode="drop")
+    cnt2 = cnt2.at[hw, placed_cell].set(new_cnt2, mode="drop")
     dic2 = dic2.at[hw, placed_cell].set(0, mode="drop")
     ts2 = ts2.at[hw, placed_cell].set(step, mode="drop")
     # colliders beyond `cells` simply retry on a later batch
 
-    # a fresh id whose batch-summed score already clears the threshold
-    # counts as a crossing and earns a slot right away (the reference's
+    # a fresh id whose placed count already clears the threshold counts
+    # as a crossing and earns a slot right away (the reference's
     # insertLRU runs the same checks on the freshly placed cell,
-    # sketch.cpp:200-208); it graduates to the main tier on its next touch.
-    crossed3 = placed & (uscore >= thr)
+    # sketch.cpp:200-208); it graduates to the main tier on its next
+    # touch. (new_cnt2 == uscore unless cfg.inherit.)
+    crossed3 = placed & (new_cnt2 >= thr)
     real_n = real_n + crossed3.sum(dtype=jnp.int32)
     slot3, got3, free_top = _alloc(free, free_top, crossed3)
     dic2 = dic2.at[jnp.where(got3, h2, n2p), placed_cell].set(

@@ -261,3 +261,46 @@ def test_analyse_plus_probe():
     assert float(analyse_plus(cfg, st, jnp.asarray(hot))) == 1.0
     cold = jnp.asarray(np.arange(900, 910, dtype=np.int32))
     assert float(analyse_plus(cfg, st, cold)) == 0.0
+
+
+class TestStagingInheritance:
+    """Opt-in Space-Saving count inheritance in the staging tier
+    (cfg.inherit): a newcomer displacing a DISCARDED victim absorbs its
+    count; victims moved to the main tier are not double-counted."""
+
+    def _mk(self, inherit):
+        import numpy as np
+        from cafe_tpu.sketch.hotsketch_plus import (CafePlusConfig,
+                                                    init_sketch_plus)
+        # lim 10 -> n2 = 1 staging bucket of 4 cells
+        cfg = CafePlusConfig(lim=10, threshold=100.0, cells=4,
+                             adjust_threshold=False, inherit=inherit)
+        return cfg, init_sketch_plus(cfg)
+
+    def _fill_and_evict(self, inherit):
+        import jax.numpy as jnp
+        import numpy as np
+        from cafe_tpu.sketch.hotsketch_plus import sketch_insert_plus
+        from cafe_tpu.sketch.hotsketch import INVALID_ID
+        cfg, st = self._mk(inherit)
+        pad = lambda ids: jnp.asarray(  # noqa: E731
+            np.array(ids + [INVALID_ID] * (8 - len(ids)), np.int32))
+        ones = lambda v: jnp.asarray(  # noqa: E731
+            np.array(v + [0.0] * (8 - len(v)), np.float32))
+        # fill the single staging bucket with 4 ids, counts 2 each
+        st, _ = sketch_insert_plus(cfg, st, pad([1, 2, 3, 4]),
+                                   ones([2.0, 2.0, 2.0, 2.0]))
+        # newcomer 5 (count 3) must evict the LRU victim (count 2 < 5
+        # -> discarded, not moved)
+        st, _ = sketch_insert_plus(cfg, st, pad([5]), ones([3.0]))
+        val2 = np.asarray(st.val2)
+        cnt2 = np.asarray(st.cnt2)
+        where = np.argwhere(val2 == 5)
+        assert len(where) == 1
+        return float(cnt2[tuple(where[0])])
+
+    def test_inherit_absorbs_discarded_count(self):
+        assert self._fill_and_evict(True) == 5.0   # 3 own + 2 inherited
+
+    def test_reference_semantics_without_inherit(self):
+        assert self._fill_and_evict(False) == 3.0  # own count only
