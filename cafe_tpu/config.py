@@ -51,6 +51,9 @@ class Config:
                                        # OFF = reference CAFE+ semantics).
                                        # Rescues CAFE+ at extreme compression
                                        # (see docs/EXPERIMENTS.md)
+    cafe_plus_staging_frac: float = 0.1  # staging tier's bucket share (the
+                                       # reference hard-codes 0.1); raise to
+                                       # ~0.3 at tight compression
     cafe_mig_lanes: int = 256          # migration-lane budget: per SHARD in the
                                        # sharded step; x16 (min 4096) on a single
                                        # device. Promotions beyond it are reverted

@@ -109,7 +109,9 @@ def build_embedding_layer(cfg, counts, dim: int,
                         alpha=cfg.cafe_alpha,
                         mig_lanes=getattr(cfg, "cafe_mig_lanes", 256),
                         plus_inherit=getattr(cfg, "cafe_plus_inherit",
-                                             False)))
+                                             False),
+                        plus_staging_frac=getattr(
+                            cfg, "cafe_plus_staging_frac", 0.1)))
                 else:  # too small for a hot pool -> plain hash fallback
                     parts.append(HashedTablePart(
                         [i], [counts[i]],
@@ -129,7 +131,9 @@ def build_embedding_layer(cfg, counts, dim: int,
                     alpha=cfg.cafe_alpha,
                     mig_lanes=getattr(cfg, "cafe_mig_lanes", 256),
                     plus_inherit=getattr(cfg, "cafe_plus_inherit",
-                                         False)))
+                                         False),
+                    plus_staging_frac=getattr(
+                        cfg, "cafe_plus_staging_frac", 0.1)))
             else:
                 real = [int(np.ceil(counts[i] * cr)) for i in big]
                 parts.append(HashedTablePart(big, [counts[i] for i in big],

@@ -59,7 +59,8 @@ class CafePart(Part):
                  max_count: int, optimizer: str = "sgd",
                  use_freq: bool = False, plus: bool = False,
                  adjust_threshold: bool = True, alpha: float = 1.000001,
-                 mig_lanes: int = 256, plus_inherit: bool = False):
+                 mig_lanes: int = 256, plus_inherit: bool = False,
+                 plus_staging_frac: float = 0.1):
         self.field_idx = list(field_idx)
         self.counts = [int(c) for c in counts]
         self.global_offsets = [int(o) for o in global_offsets]
@@ -86,7 +87,8 @@ class CafePart(Part):
             self.sketch_cfg = CafePlusConfig(
                 lim=self.hotn, threshold=float(sketch_threshold),
                 alpha=float(alpha), adjust_threshold=adjust_threshold,
-                inherit=plus_inherit)
+                inherit=plus_inherit,
+                staging_frac=float(plus_staging_frac))
             self._sk_init = init_sketch_plus
             self._sk_query = sketch_query_plus
             self._sk_insert = sketch_insert_plus

@@ -56,14 +56,18 @@ class CafePlusConfig(NamedTuple):
     # starves mid-band ids at extreme compression — every eviction
     # throws their accumulated evidence away. Off by default for parity.
     inherit: bool = False
+    # staging tier's share of the buckets; the reference hard-codes 0.1
+    # (sketch.cpp:29-35). A bigger share helps when the id flow per
+    # staging bucket is extreme (tight compression, huge batches).
+    staging_frac: float = 0.1
 
     @property
     def n1(self) -> int:
-        return max(int(self.lim * 0.9), 1)
+        return max(int(self.lim * (1.0 - self.staging_frac)), 1)
 
     @property
     def n2(self) -> int:
-        return max(int(self.lim * 0.1), 1)
+        return max(int(self.lim * self.staging_frac), 1)
 
 
 class CafePlusState(NamedTuple):
