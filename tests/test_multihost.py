@@ -102,3 +102,50 @@ def test_two_process_dp_only_builds_mesh():
         out, _ = p.communicate(timeout=480)
         assert p.returncode == 0, out[-3000:]
         assert _losses(out), "no training output"
+
+
+@pytest.mark.timeout(900)
+def test_two_process_checkpoint_resume(tmp_path):
+    """Multi-host orbax checkpointing: a 2-process run saves (all
+    processes participate), a fresh 2-process run resumes from it and
+    continues with the exact next-batch losses."""
+    ck = str(tmp_path / "mh_ck")
+
+    def launch(port, extra):
+        procs = []
+        for i in range(2):
+            env = {k: v for k, v in os.environ.items()
+                   if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+            env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "main.py")] + FLAGS
+                + ["--dist_num_processes", "2", "--dist_process_id",
+                   str(i), "--dist_coordinator", port] + extra,
+                cwd=REPO, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True))
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            assert p.returncode == 0, out[-3000:]
+            outs.append(out)
+        return outs
+
+    # run A: full run, rolling checkpoint every 16 iters
+    outs_a = launch("localhost:12403",
+                    ["--save_model", ck, "--save_freq", "16"])
+    ref = _losses(outs_a[0])
+    assert os.path.islink(ck + ".latest")
+    # run B: the .latest slot is the END-of-run save (nothing left to
+    # train); resume from the OTHER slot — one rolling save earlier,
+    # mid-stream — to exercise a true multi-host restore + continue
+    target = os.path.realpath(ck + ".latest")
+    other = ck + (".rb" if target.endswith(".ra") else ".ra")
+    outs_b = launch("localhost:12404", ["--load_model", other])
+    res = _losses(outs_b[0])
+    assert "loaded" in outs_b[0]
+    # the resumed run reports the SAME losses at the iters it covers
+    common = sorted(set(ref) & set(res))
+    assert common, f"no overlapping loss iters: {sorted(res)[:4]}"
+    for it in common:
+        assert res[it] == pytest.approx(ref[it], abs=2e-3), \
+            f"iter {it}: resumed {res[it]} vs original {ref[it]}"
