@@ -93,6 +93,13 @@ def build_embedding_layer(cfg, counts, dim: int,
         full_part(small)
         goff = np.concatenate([[0], np.cumsum(counts)[:-1]])
         max_count = max(counts)
+        cafe_kwargs = dict(
+            plus=cfg.cafe_plus,
+            adjust_threshold=cfg.cafe_adjust_threshold,
+            alpha=cfg.cafe_alpha,
+            mig_lanes=getattr(cfg, "cafe_mig_lanes", 256),
+            plus_inherit=getattr(cfg, "cafe_plus_inherit", False),
+            plus_staging_frac=getattr(cfg, "cafe_plus_staging_frac", 0.1))
         if cfg.cafe_hot_separate_field:
             for i in big:
                 hotn = sizing.cafe_field_hotn(counts[i], cr, dim,
@@ -103,15 +110,7 @@ def build_embedding_layer(cfg, counts, dim: int,
                         [sizing.cafe_hash_size(counts[i], cr,
                                                cfg.cafe_hash_rate)],
                         dim, cfg.cafe_sketch_threshold, cfg.cafe_decay,
-                        counts[i], opt, cfg.cafe_use_freq,
-                        plus=cfg.cafe_plus,
-                        adjust_threshold=cfg.cafe_adjust_threshold,
-                        alpha=cfg.cafe_alpha,
-                        mig_lanes=getattr(cfg, "cafe_mig_lanes", 256),
-                        plus_inherit=getattr(cfg, "cafe_plus_inherit",
-                                             False),
-                        plus_staging_frac=getattr(
-                            cfg, "cafe_plus_staging_frac", 0.1)))
+                        counts[i], opt, cfg.cafe_use_freq, **cafe_kwargs))
                 else:  # too small for a hot pool -> plain hash fallback
                     parts.append(HashedTablePart(
                         [i], [counts[i]],
@@ -125,15 +124,7 @@ def build_embedding_layer(cfg, counts, dim: int,
                     [sizing.cafe_hash_size(counts[i], cr, cfg.cafe_hash_rate)
                      for i in big],
                     dim, cfg.cafe_sketch_threshold, cfg.cafe_decay,
-                    max_count, opt, cfg.cafe_use_freq,
-                    plus=cfg.cafe_plus,
-                    adjust_threshold=cfg.cafe_adjust_threshold,
-                    alpha=cfg.cafe_alpha,
-                    mig_lanes=getattr(cfg, "cafe_mig_lanes", 256),
-                    plus_inherit=getattr(cfg, "cafe_plus_inherit",
-                                         False),
-                    plus_staging_frac=getattr(
-                        cfg, "cafe_plus_staging_frac", 0.1)))
+                    max_count, opt, cfg.cafe_use_freq, **cafe_kwargs))
             else:
                 real = [int(np.ceil(counts[i] * cr)) for i in big]
                 parts.append(HashedTablePart(big, [counts[i] for i in big],

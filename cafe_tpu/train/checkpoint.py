@@ -32,8 +32,12 @@ def save_checkpoint(path: str, state: TrainState, extra: Dict) -> None:
     path = osp.abspath(path)
     os.makedirs(osp.dirname(path) or ".", exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
+        # collective across processes: every process must participate
         ckptr.save(path, _to_pytree(state), force=True)
-    _atomic_json(path + ".meta.json", extra)
+    # host-side sidecar/symlink writes are NOT collective — under
+    # multi-host on shared storage they would race; process 0 only
+    if jax.process_index() == 0:
+        _atomic_json(path + ".meta.json", extra)
 
 
 def save_rolling(path: str, state: TrainState, extra: Dict) -> None:
@@ -46,7 +50,9 @@ def save_rolling(path: str, state: TrainState, extra: Dict) -> None:
     latest = path + ".latest"
     cur = os.path.realpath(latest) if osp.islink(latest) else ""
     slot = path + (".rb" if cur.endswith(".ra") else ".ra")
-    save_checkpoint(slot, state, extra)
+    save_checkpoint(slot, state, extra)       # collective
+    if jax.process_index() != 0:
+        return  # the symlink flip is a single-writer host-side op
     tmp_link = latest + ".lnk"
     if osp.lexists(tmp_link):
         os.remove(tmp_link)

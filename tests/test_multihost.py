@@ -33,15 +33,30 @@ LOSS_RE = re.compile(r"it (\d+)/\d+ .*?, ([0-9.]+) ms/it, loss ([0-9.]+)")
 AUC_RE = re.compile(r"auc ([0-9.]+) %")
 
 
-def _run(extra, n_local_devices, timeout=420):
+def _run(extra, n_local_devices, flags=None):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
     env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
                         f"{n_local_devices}")
     return subprocess.Popen(
-        [sys.executable, os.path.join(REPO, "main.py")] + FLAGS + extra,
+        [sys.executable, os.path.join(REPO, "main.py")]
+        + (FLAGS if flags is None else flags) + extra,
         cwd=REPO, env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True)
+
+
+def _launch_pair(port, extra, flags=None, timeout=600):
+    """Two coordinated processes; returns their stdouts, asserting rc 0."""
+    procs = [_run(["--dist_num_processes", "2", "--dist_process_id",
+                   str(i), "--dist_coordinator", port] + extra, 4,
+                  flags=flags)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        assert p.returncode == 0, out[-3000:]
+        outs.append(out)
+    return outs
 
 
 def _losses(out):
@@ -51,15 +66,7 @@ def _losses(out):
 
 @pytest.mark.timeout(900)
 def test_two_process_mesh_matches_single_process():
-    port = "localhost:12401"
-    procs = [_run(["--dist_num_processes", "2", "--dist_process_id",
-                   str(i), "--dist_coordinator", port], 4)
-             for i in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
-        assert p.returncode == 0, out[-3000:]
+    outs = _launch_pair("localhost:12401", [])
     ref = _run([], 8)
     ref_out, _ = ref.communicate(timeout=600)
     assert ref.returncode == 0, ref_out[-3000:]
@@ -85,22 +92,9 @@ def test_two_process_dp_only_builds_mesh():
     """Multi-process WITHOUT --shard_embeddings must still build the
     global mesh for per-process feeding (review finding: it crashed in
     NamedSharding(None, ...))."""
-    port = "localhost:12402"
     flags = [f if f != "true" else "false" for f in FLAGS]  # shard off
-    procs = []
-    for i in range(2):
-        env = {k: v for k, v in os.environ.items()
-               if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
-        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-        procs.append(subprocess.Popen(
-            [sys.executable, os.path.join(REPO, "main.py")] + flags
-            + ["--dist_num_processes", "2", "--dist_process_id", str(i),
-               "--dist_coordinator", port],
-            cwd=REPO, env=env, stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True))
-    for p in procs:
-        out, _ = p.communicate(timeout=480)
-        assert p.returncode == 0, out[-3000:]
+    for out in _launch_pair("localhost:12402", [], flags=flags,
+                            timeout=480):
         assert _losses(out), "no training output"
 
 
@@ -111,28 +105,9 @@ def test_two_process_checkpoint_resume(tmp_path):
     continues with the exact next-batch losses."""
     ck = str(tmp_path / "mh_ck")
 
-    def launch(port, extra):
-        procs = []
-        for i in range(2):
-            env = {k: v for k, v in os.environ.items()
-                   if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
-            env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-            procs.append(subprocess.Popen(
-                [sys.executable, os.path.join(REPO, "main.py")] + FLAGS
-                + ["--dist_num_processes", "2", "--dist_process_id",
-                   str(i), "--dist_coordinator", port] + extra,
-                cwd=REPO, env=env, stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT, text=True))
-        outs = []
-        for p in procs:
-            out, _ = p.communicate(timeout=600)
-            assert p.returncode == 0, out[-3000:]
-            outs.append(out)
-        return outs
-
     # run A: full run, rolling checkpoint every 16 iters
-    outs_a = launch("localhost:12403",
-                    ["--save_model", ck, "--save_freq", "16"])
+    outs_a = _launch_pair("localhost:12403",
+                          ["--save_model", ck, "--save_freq", "16"])
     ref = _losses(outs_a[0])
     assert os.path.islink(ck + ".latest")
     # run B: the .latest slot is the END-of-run save (nothing left to
@@ -140,7 +115,7 @@ def test_two_process_checkpoint_resume(tmp_path):
     # mid-stream — to exercise a true multi-host restore + continue
     target = os.path.realpath(ck + ".latest")
     other = ck + (".rb" if target.endswith(".ra") else ".ra")
-    outs_b = launch("localhost:12404", ["--load_model", other])
+    outs_b = _launch_pair("localhost:12404", ["--load_model", other])
     res = _losses(outs_b[0])
     assert "loaded" in outs_b[0]
     # the resumed run reports the SAME losses at the iters it covers
