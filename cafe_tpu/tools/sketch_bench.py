@@ -124,46 +124,59 @@ def run_tracked(stream, vocab, buckets, threshold, cells, batch,
 
 
 def run_throughput(stream, buckets, threshold, batch):
-    """Insert/query ops/s of the jitted kernels, measured as chained
-    ASYNC dispatches (state threads through; dispatch latency pipelines
-    behind device work, so this measures kernel throughput on the target
-    backend — run it with the TPU backend for the artifact number).
+    """Insert/query ops/s of the jitted kernels.
 
-    Runtime gotcha discovered while tuning this (docs/PERF.md): on the
-    current experimental single-chip runtime, an executable that embeds a
-    device-array CONSTANT (a closed-over jnp array) or feeds the kernel
-    from an in-program slice of a batched argument runs ~50x slower than
-    the identical kernel taking direct parameters (2.7 ms vs 47 us per
-    insert measured). Everything here passes arrays as direct args."""
+    HONEST CLOCK (round-3): each window is ONE jitted lax.scan over the
+    stacked id chunks (insert threads the sketch state through the scan;
+    query accumulates a checksum so nothing is dead code) and ends with a
+    VALUE FETCH of the result (utils/timing.fence). block_until_ready is
+    not trusted on this runtime (round-2 verdict), and per-dispatch RPC
+    overhead through the tunnel would otherwise dominate these ~us-scale
+    kernels — the scan window measures the kernel itself."""
     import jax
     import jax.numpy as jnp
     from cafe_tpu.sketch import (HotSketchConfig, init_sketch,
                                  sketch_insert, sketch_query)
+    from cafe_tpu.utils.timing import fence
     cfg = HotSketchConfig(buckets=buckets, threshold=threshold)
     st = init_sketch(cfg)
     n_chunks = min(100, len(stream) // batch)
     if n_chunks == 0:
         return 0.0, 0.0
-    chunks = [jnp.asarray(stream[lo * batch:(lo + 1) * batch])
-              for lo in range(n_chunks)]
+    stacked = jnp.asarray(
+        np.stack([stream[lo * batch:(lo + 1) * batch]
+                  for lo in range(n_chunks)]))
     ones = jnp.ones(batch, jnp.float32)
-    for c in chunks[:5]:
-        st, _ = sketch_insert(cfg, st, c, ones)
-    jax.block_until_ready(st.cnt)
-    t0 = time.time()
-    for c in chunks:
-        st, _ = sketch_insert(cfg, st, c, ones)
-    jax.block_until_ready(st.cnt)
-    ins_ops = batch * len(chunks) / (time.time() - t0)
 
-    q = jax.jit(lambda s, i: sketch_query(cfg, s, i))
-    out = q(st, chunks[0])
-    jax.block_until_ready(out)
+    @jax.jit
+    def insert_window(st, stacked):
+        def step(s, ids):
+            s, _ = sketch_insert(cfg, s, ids, ones)
+            return s, None
+        st, _ = jax.lax.scan(step, st, stacked)
+        return st
+
+    @jax.jit
+    def query_window(st, stacked):
+        def step(acc, ids):
+            return acc + sketch_query(cfg, st, ids).sum(), None
+        out, _ = jax.lax.scan(step, jnp.zeros((), jnp.int64)
+                              if jax.config.jax_enable_x64
+                              else jnp.zeros((), jnp.int32), stacked)
+        return out
+
+    st_w = insert_window(st, stacked)  # compile + warm
+    fence(st_w)
     t0 = time.time()
-    for c in chunks:
-        out = q(st, c)
-    jax.block_until_ready(out)
-    que_ops = batch * len(chunks) / (time.time() - t0)
+    st = insert_window(st, stacked)
+    fence(st)
+    ins_ops = batch * n_chunks / (time.time() - t0)
+
+    fence(query_window(st, stacked))  # compile + warm
+    t0 = time.time()
+    out = query_window(st, stacked)
+    fence(out)
+    que_ops = batch * n_chunks / (time.time() - t0)
     return ins_ops, que_ops
 
 

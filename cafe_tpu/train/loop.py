@@ -159,18 +159,25 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
         from ..parallel.multihost import gather_to_host, global_batches
         stream = global_batches(mesh, stream)
 
+    # honest clock for throughput mode: eval dispatches don't chain, so
+    # accumulate a per-batch checksum on device and VALUE-FETCH it at the
+    # window end (utils/timing.fence); block_until_ready is not trusted
+    # on this runtime (round-2 verdict)
+    from ..utils.timing import fence
     p = None
+    acc = None
     for it, (dense, sparse, label, valid) in enumerate(stream):
         if throughput and it == 10:
             # drain the async warmup dispatches before starting the clock
             if p is not None:
-                jax.block_until_ready(p)
+                fence(p)
             t_start = time.time()
         dx = None if dense is None else jnp.asarray(dense)
         p = eval_step(state, dx, jnp.asarray(sparse))
         if throughput:
             if it >= 10:
                 n_timed += 1
+                acc = p[0] if acc is None else acc + p[0]
             if it == 1023:
                 break
             continue
@@ -181,8 +188,10 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
             scores.append(np.asarray(p[:valid]))
             targets.append(label[:valid])
     if throughput:
-        if p is not None:
-            jax.block_until_ready(p)
+        if acc is not None:
+            fence(acc)
+        elif p is not None:
+            fence(p)
         if t_start is None:  # empty test set: nothing to time
             return {}, 0.0
         ms = (time.time() - t_start) * 1000.0 / max(n_timed, 1)

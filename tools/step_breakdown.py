@@ -18,14 +18,11 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 
 def timed(fn, state, batches, steps=300, warmup=20):
-    import jax
-
-    def sync(out):
-        # block on the LAST leaf (the step's computed output — metrics or
-        # predictions), NOT leaves[0], which for a fwd-only fn is the
-        # passed-through input state and is already ready; blocking on it
-        # would stop the clock while the async dispatches still run
-        jax.block_until_ready(jax.tree.leaves(out)[-1])
+    # honest clock: value-fetch fence over EVERY leaf of the last output
+    # (passed-through state included — for fwd-only fns the predictions
+    # carry the dependence); block_until_ready is not trusted here (see
+    # cafe_tpu/utils/timing.py and tools/clock_probe.py)
+    from cafe_tpu.utils.timing import fence as sync
 
     for i in range(warmup):
         d, s, l, v = batches[i % len(batches)]
