@@ -63,7 +63,7 @@ class Config:
     test_mini_batch_size: int = 16384
     nepochs: int = 1
     learning_rate: float = 0.01
-    optimizer: str = "sgd"  # sgd | adagrad
+    optimizer: str = "sgd"  # sgd | adagrad | adam (rows-Adam on tables)
     # LR policy (legacy LRPolicyScheduler, dlrm_s_pytorch.py:171-208)
     lr_num_warmup_steps: int = 0
     lr_decay_start_step: int = 0

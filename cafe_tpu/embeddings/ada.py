@@ -176,7 +176,11 @@ class AdaPart(Part):
         wslots = jnp.where(write, slots, state["weight"].shape[0])
         weight = state["weight"].at[wslots].set(0.0, mode="drop")
         out = {**state, "dic": dic, "weight": weight}
-        if self.optimizer == "adagrad":
-            out["weight_acc"] = state["weight_acc"].at[wslots].set(
-                0.0, mode="drop")
+        # recycled slots restart their optimizer state too (adagrad acc /
+        # adam moments); adam's step scalar is table-global and stays
+        from ..ops.sparse import SLOT_SUFFIXES
+        for sfx in SLOT_SUFFIXES[self.optimizer].values():
+            if state["weight" + sfx].ndim == 2:
+                out["weight" + sfx] = state["weight" + sfx].at[wslots].set(
+                    0.0, mode="drop")
         return out

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.sparse import sparse_adagrad, sparse_sgd
+from ..ops.sparse import SLOT_SUFFIXES, apply_rows, init_slots
 
 # All device tables are padded to a multiple of this row count so they can be
 # row-sharded over any power-of-two mesh up to 512 devices (uneven sharding
@@ -109,20 +109,27 @@ class Part:
             bits = 8  # int4 packs code pairs; odd-dim tables serve at 8-bit
         return quantize_rowwise(table, bits)
 
-    # --- shared sparse-update helper ---------------------------------
+    # --- shared sparse-update helpers ---------------------------------
+    def _slots_of(self, state: Dict, key: str) -> Dict:
+        """Optimizer-slot dict for `key` pulled out of the state dict
+        (state keys follow SLOT_SUFFIXES: table_acc / table_m / ...)."""
+        return {name: state[key + sfx]
+                for name, sfx in SLOT_SUFFIXES[self.optimizer].items()}
+
+    def _put_slots(self, state: Dict, key: str, slots: Dict) -> Dict:
+        for name, sfx in SLOT_SUFFIXES[self.optimizer].items():
+            state[key + sfx] = slots[name]
+        return state
+
     def _table_update(self, state: Dict, key: str, idx: jnp.ndarray,
                       grad: jnp.ndarray, lr: float) -> Dict:
-        table = state[key]
-        if self.optimizer == "adagrad":
-            table, acc = sparse_adagrad(table, state[key + "_acc"], idx,
-                                        grad, lr)
-            return {**state, key: table, key + "_acc": acc}
-        return {**state, key: sparse_sgd(table, idx, grad, lr)}
+        table, slots = apply_rows(state[key], self._slots_of(state, key),
+                                  idx, grad, lr, self.optimizer)
+        return self._put_slots({**state, key: table}, key, slots)
 
     def _maybe_acc(self, state: Dict, key: str) -> Dict:
-        if self.optimizer == "adagrad":
-            state[key + "_acc"] = jnp.zeros_like(state[key])
-        return state
+        return self._put_slots(state, key,
+                               init_slots(state[key], self.optimizer))
 
 
 class HashedTablePart(Part):
@@ -227,14 +234,10 @@ class HashedTablePart(Part):
             return self._table_update(state, key, idx2d.reshape(b * f),
                                       g3d.reshape(b * f, d), lr)
         from ..parallel.exchange import sharded_apply
-        acc = state.get(key + "_acc") if self.optimizer == "adagrad" \
-            else None
-        table, acc = sharded_apply(self.mesh, state[key], acc, idx2d, g3d,
-                                   lr, self.optimizer)
-        out = {**state, key: table}
-        if acc is not None:
-            out[key + "_acc"] = acc
-        return out
+        table, slots = sharded_apply(self.mesh, state[key],
+                                     self._slots_of(state, key), idx2d,
+                                     g3d, lr, self.optimizer)
+        return self._put_slots({**state, key: table}, key, slots)
 
     def quantize_for_serving(self, state, bits):
         return {"table": self._quantize(state["table"], bits)}
@@ -279,6 +282,19 @@ class QRPart(Part):
         self.q_off = _offsets(self.q_rows)
         self.r_off = _offsets(self.r_rows)
 
+    def enable_mesh(self, mesh) -> bool:
+        """Explicit exchange for the QUOTIENT table — the O(vocab/coll)
+        side that is multi-GB at CriteoTB scale (reference sizing
+        init_embed.py:64-69). The remainder table is O(collisions) rows
+        per field; it stays replicated because its entire gradient
+        all-reduce is smaller than one batch of exchanged rows."""
+        n = int(mesh.devices.size)
+        q_pad = round_up(int(sum(self.q_rows)))
+        if q_pad % n or q_pad < max(n, _MIN_SHARD_ROWS):
+            return False
+        self.mesh = mesh
+        return True
+
     def init(self, rng):
         scales = [np.sqrt(1.0 / n) for n in self.counts]
         state = {
@@ -299,29 +315,46 @@ class QRPart(Part):
 
     def gather(self, state, ids):
         qi, ri = self._rows(ids)
-        qv, rv = state["q"][qi], state["r"][ri]
+        if self.mesh is not None:
+            from ..parallel.exchange import sharded_fetch
+            qv = sharded_fetch(self.mesh, state["q"], qi)
+        else:
+            qv = state["q"][qi]
+        rv = state["r"][ri]
         if self.operation == "add":
             raw = qv + rv
         elif self.operation == "mult":
             raw = qv * rv
         else:
             raw = jnp.concatenate([qv, rv], axis=-1)
-        return raw, (qi, ri)
+        # mult's backward needs both factors; carry them so the sharded
+        # path pays ONE q exchange (and the single-device path one gather)
+        aux = (qi, ri, qv, rv) if self.operation == "mult" else (qi, ri)
+        return raw, aux
 
     def apply_grads(self, state, ids, g_raw, aux, lr):
-        qi, ri = aux
         b, f, d = g_raw.shape
-        g = g_raw.reshape(b * f, d)
-        qi, ri = qi.reshape(-1), ri.reshape(-1)
         if self.operation == "add":
-            gq, gr = g, g
+            qi, ri = aux
+            gq, gr = g_raw, g_raw
         elif self.operation == "mult":
-            gq = g * state["r"][ri]
-            gr = g * state["q"][qi]
+            qi, ri, qv, rv = aux
+            gq, gr = g_raw * rv, g_raw * qv
         else:
-            gq, gr = g[:, :self.q_dim], g[:, self.q_dim:]
-        state = self._table_update(state, "q", qi, gq, lr)
-        state = self._table_update(state, "r", ri, gr, lr)
+            qi, ri = aux
+            gq = g_raw[..., :self.q_dim]
+            gr = g_raw[..., self.q_dim:]
+        if self.mesh is not None:
+            from ..parallel.exchange import sharded_apply
+            q_tbl, slots = sharded_apply(self.mesh, state["q"],
+                                         self._slots_of(state, "q"), qi,
+                                         gq, lr, self.optimizer)
+            state = self._put_slots({**state, "q": q_tbl}, "q", slots)
+        else:
+            state = self._table_update(state, "q", qi.reshape(-1),
+                                       gq.reshape(b * f, -1), lr)
+        state = self._table_update(state, "r", ri.reshape(-1),
+                                   gr.reshape(b * f, -1), lr)
         return state, {}
 
     def quantize_for_serving(self, state, bits):
@@ -410,7 +443,13 @@ class OffPart(Part):
     it no cold budget (num_cold <= 0) serves its non-hot ids from the HOT
     table by modulo — the reference's weight_cold=None branch
     (off_embedding_bag.py:36-49) — rather than aliasing them all to one
-    padding row."""
+    padding row.
+
+    Layout: like CafePart, hot and cold live in ONE device array (hot
+    rows first, cold rows at `cold_base`), so the forward is a single
+    routed gather and the backward a single scatter — and the explicit
+    SPMD exchange needs only one owner-compute table plus a row-sharded
+    hot_dict answered by its owners."""
 
     def __init__(self, field_idx, counts, hot_dicts, num_colds, dim,
                  optimizer="sgd"):
@@ -427,24 +466,43 @@ class OffPart(Part):
         self._hot_dict_np = np.concatenate(hot_dicts).astype(np.int32)
         self.hot_rows = int(sum(max(h, 1) for h in self.num_hots))
         self.cold_rows = int(sum(max(c, 1) for c in self.num_colds))
+        # unified layout: [0, hot_rows) hot, [cold_base, ...) cold
+        self.cold_base = round_up(self.hot_rows)
+        self.total_rows = self.cold_base + round_up(self.cold_rows)
+
+    def enable_mesh(self, mesh) -> bool:
+        """Explicit exchange: unified table row-sharded; the int32
+        hot_dict row-sharded too and answered owner-compute inside the
+        same shard_map (a replicated dict would be O(vocab) memory per
+        device — 1/dim of the table, still unacceptable at CriteoTB)."""
+        n = int(mesh.devices.size)
+        if self.total_rows % n or self.total_rows < max(n, _MIN_SHARD_ROWS):
+            return False
+        if round_up(len(self._hot_dict_np)) % n:
+            return False
+        self.mesh = mesh
+        return True
 
     def init(self, rng):
         scales = [np.sqrt(1.0 / max(n, 5)) for n in self.counts]
         hd = self._hot_dict_np
         hd_pad = np.full(round_up(len(hd)), -1, dtype=np.int32)
         hd_pad[: len(hd)] = hd
+        table = np.zeros((self.total_rows, self.dim), dtype=np.float32)
+        hot = _uniform_init(rng, [max(h, 1) for h in self.num_hots],
+                            scales, self.dim)
+        cold = _uniform_init(rng, [max(c, 1) for c in self.num_colds],
+                             scales, self.dim)
+        table[: hot.shape[0]] = hot
+        table[self.cold_base: self.cold_base + cold.shape[0]] = cold
         state = {
-            "hot": jnp.asarray(_uniform_init(
-                rng, [max(h, 1) for h in self.num_hots], scales, self.dim)),
-            "cold": jnp.asarray(_uniform_init(
-                rng, [max(c, 1) for c in self.num_colds], scales, self.dim)),
+            "table": jnp.asarray(table),
             "hot_dict": jnp.asarray(hd_pad),
         }
-        state = self._maybe_acc(state, "hot")
-        return self._maybe_acc(state, "cold")
+        return self._maybe_acc(state, "table")
 
-    def gather(self, state, ids):
-        doff = jnp.asarray(self.dict_off, dtype=jnp.int32)
+    def _route(self, ids, hd):
+        """(ids, dict values) -> (unified row, use_hot) [B, F]."""
         hoff = jnp.asarray(self.hot_off, dtype=jnp.int32)
         coff = jnp.asarray(self.cold_off, dtype=jnp.int32)
         ncold = jnp.asarray([max(c, 1) for c in self.num_colds],
@@ -452,38 +510,87 @@ class OffPart(Part):
         nhot = jnp.asarray([max(h, 1) for h in self.num_hots],
                            dtype=jnp.int32)
         fb = jnp.asarray(self.hot_fallback, dtype=bool)
-        hd = state["hot_dict"][ids + doff[None, :]]
         is_hot = hd >= 0
         # non-hot ids of a fallback field route into the hot table
         use_hot = is_hot | fb[None, :]
         hrow = jnp.where(is_hot, jnp.clip(hd, 0),
                          ids % nhot[None, :]) + hoff[None, :]
-        crow = (ids % ncold[None, :]) + coff[None, :]
-        rows = jnp.where(use_hot[..., None], state["hot"][hrow],
-                         state["cold"][crow])
-        return rows, (hrow, crow, use_hot)
+        crow = (ids % ncold[None, :]) + coff[None, :] + self.cold_base
+        return jnp.where(use_hot, hrow, crow), use_hot
+
+    def gather(self, state, ids):
+        doff = jnp.asarray(self.dict_off, dtype=jnp.int32)
+        gid = ids + doff[None, :]
+        if self.mesh is not None:
+            return self._gather_sharded(state, ids, gid)
+        hd = state["hot_dict"][gid]
+        row, use_hot = self._route(ids, hd)
+        return state["table"][row], (row, use_hot)
+
+    def _gather_sharded(self, state, ids, gid):
+        """all_gather the dict ids, owners answer hot_dict lanes (one
+        owner per lane => an int32 psum publishes exactly), route, then
+        owner-compute gather + psum_scatter on the unified table.
+        Traffic: M*4 (ids) + M*4 (dict psum) + M*D*4 (rows) per device
+        scale — O(batch), never O(vocab)."""
+        from ..parallel.embedding_parallel import shard_map
+        from ..parallel.exchange import AXIS, _owner_rows, owner_lookup_1d
+        from jax.sharding import PartitionSpec as P
+
+        def f(tbl, hdic, ids_l, gid_l):
+            b_l, f_l = ids_l.shape
+            m = b_l * f_l
+            me = jax.lax.axis_index(AXIS)
+            all_gid = jax.lax.all_gather(gid_l.reshape(m), AXIS,
+                                         tiled=True)
+            all_ids = jax.lax.all_gather(ids_l.reshape(m), AXIS,
+                                         tiled=True)
+            hd_all = owner_lookup_1d(hdic, all_gid)
+            row_all, hot_all = self._route(
+                all_ids.reshape(-1, f_l), hd_all.reshape(-1, f_l))
+            rows = _owner_rows(tbl, row_all.reshape(-1))
+            out = jax.lax.psum_scatter(rows, AXIS, scatter_dimension=0,
+                                       tiled=True)
+            row_me = jax.lax.dynamic_slice(row_all.reshape(-1),
+                                           (me * m,), (m,))
+            hot_me = jax.lax.dynamic_slice(hot_all.reshape(-1),
+                                           (me * m,), (m,))
+            return (out.reshape(b_l, f_l, -1), row_me.reshape(b_l, f_l),
+                    hot_me.reshape(b_l, f_l))
+
+        raw, row, use_hot = shard_map(
+            f, self.mesh,
+            in_specs=(P(AXIS, None), P(AXIS), P(AXIS, None),
+                      P(AXIS, None)),
+            out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS, None)),
+        )(state["table"], state["hot_dict"], ids, gid)
+        return raw, (row, use_hot)
 
     def apply_grads(self, state, ids, g_raw, aux, lr):
-        hrow, crow, use_hot = aux
+        row, use_hot = aux
         b, f, d = g_raw.shape
-        g = g_raw.reshape(b * f, d)
-        hi = jnp.where(use_hot, hrow, state["hot"].shape[0]).reshape(-1)
-        ci = jnp.where(use_hot, state["cold"].shape[0], crow).reshape(-1)
-        state = self._table_update(state, "hot", hi, g, lr)
-        state = self._table_update(state, "cold", ci, g, lr)
+        if self.mesh is not None:
+            from ..parallel.exchange import sharded_apply
+            table, slots = sharded_apply(
+                self.mesh, state["table"], self._slots_of(state, "table"),
+                row, g_raw, lr, self.optimizer)
+            return self._put_slots({**state, "table": table}, "table",
+                                   slots), {}
+        state = self._table_update(state, "table", row.reshape(b * f),
+                                   g_raw.reshape(b * f, d), lr)
         return state, {}
 
     def quantize_for_serving(self, state, bits):
-        return {"hot": self._quantize(state["hot"], bits),
-                "cold": self._quantize(state["cold"], bits)}
+        return {"table": self._quantize(state["table"], bits)}
 
     def gather_quantized(self, state, qt, ids):
         from ..ops.quantized import dequantize_rows
         b, f = ids.shape
-        _, (hrow, crow, use_hot) = self.gather(state, ids)
-        hv = dequantize_rows(qt["hot"], hrow.reshape(-1)).reshape(b, f, -1)
-        cv = dequantize_rows(qt["cold"], crow.reshape(-1)).reshape(b, f, -1)
-        return jnp.where(use_hot[..., None], hv, cv)
+        doff = jnp.asarray(self.dict_off, dtype=jnp.int32)
+        hd = state["hot_dict"][ids + doff[None, :]]
+        row, _ = self._route(ids, hd)
+        return dequantize_rows(qt["table"], row.reshape(-1)).reshape(
+            b, f, -1)
 
 
 class EmbeddingLayer:

@@ -128,12 +128,38 @@ class CafePart(Part):
         self._s_l = s_l
         return True
 
+    def enable_sharded_layout(self, n: int) -> bool:
+        """Adopt the n-shard STATE LAYOUT without a mesh, so a checkpoint
+        trained with enable_mesh(n) can be loaded and served on a single
+        chip (quantize_for_serving + gather_quantized route through the
+        sharded sketch views by n_shards, not by mesh). Training paths
+        still require the mesh; only serving/inspection are supported in
+        this mode. Must be called BEFORE init()/checkpoint restore."""
+        from ..sketch.sharded import local_config, local_config_plus
+        n = int(n)
+        if n <= 1 or self.total_rows % n:
+            return False
+        try:
+            if self.plus:
+                lcfg, s_l = local_config_plus(self.sketch_cfg, n)
+            else:
+                lcfg, s_l = local_config(self.sketch_cfg, n)
+        except ValueError:
+            return False
+        if s_l < 2:
+            return False
+        self.n_shards = n
+        self._lcfg = lcfg
+        self._s_l = s_l
+        return True
+
     def init(self, rng: np.random.Generator) -> Dict:
         table = np.zeros((self.total_rows, self.dim), dtype=np.float32)
         high_scale = np.sqrt(1.0 / self.max_count)  # init_embed.py:119
         # sharded mode can allocate slots up to the padded hot region (the
         # rows exist either way); initialize the whole region it may serve
-        n_hot_init = self.hash_base if self.mesh is not None else self.hotn
+        sharded = self.mesh is not None or self.n_shards > 1
+        n_hot_init = self.hash_base if sharded else self.hotn
         table[: n_hot_init] = rng.uniform(
             -high_scale, high_scale,
             size=(n_hot_init, self.dim)).astype(np.float32)
@@ -143,7 +169,7 @@ class CafePart(Part):
             table[lo:lo + hs] = rng.uniform(
                 -scale, scale, size=(hs, self.dim)).astype(np.float32)
             lo += hs
-        if self.mesh is not None:
+        if sharded:
             from ..sketch.sharded import (init_sharded_sketch,
                                           init_sharded_sketch_plus)
             init_fn = init_sharded_sketch_plus if self.plus \
@@ -173,8 +199,16 @@ class CafePart(Part):
             return self._gather_sharded(state, ids)
         b, f = ids.shape
         oids = self._oids(ids)
-        q = self._sk_query(self.sketch_cfg, state["sketch"],
-                           oids.reshape(-1)).reshape(b, f)
+        if self.n_shards > 1:
+            # mesh-less sharded LAYOUT (enable_sharded_layout): route the
+            # query through the sharded sketch views on one device
+            from ..sketch.sharded import query_sharded, query_sharded_plus
+            qfn = query_sharded_plus if self.plus else query_sharded
+            q = qfn(self.sketch_cfg, self.n_shards, state["sketch"],
+                    oids.reshape(-1)).reshape(b, f)
+        else:
+            q = self._sk_query(self.sketch_cfg, state["sketch"],
+                               oids.reshape(-1)).reshape(b, f)
         is_hot = q < 0
         slot = jnp.where(is_hot, -q, 0)
         row, hrow = self._rows(oids, is_hot, slot)
@@ -293,6 +327,15 @@ class CafePart(Part):
         table = state["table"].at[dst].set(state["table"][prow],
                                            mode="drop")
         state = {**state, "table": table, "sketch": sk}
+        # freshly promoted slots restart their optimizer state (stale
+        # adagrad acc would permanently shrink the new occupant's lr; the
+        # reference's full-tensor torch state has the same staleness and
+        # simply lives with it — deviation documented in docs/GUIDE.md)
+        from ..ops.sparse import SLOT_SUFFIXES
+        for sfx in SLOT_SUFFIXES[self.optimizer].values():
+            k = "table" + sfx
+            if state[k].ndim == 2:
+                state[k] = state[k].at[dst].set(0.0, mode="drop")
 
         # one scatter updates whichever row served each sample
         state = self._table_update(state, "table", row.reshape(-1),
@@ -313,10 +356,10 @@ class CafePart(Part):
         (n*mig_lanes rows), then dedup + owner-compute sparse update."""
         import jax
         from jax.sharding import PartitionSpec as P
-        from ..ops.sparse import coalesce, sparse_adagrad, sparse_sgd
+        from ..ops.sparse import apply_rows, coalesce
         from ..parallel.embedding_parallel import shard_map
         from ..parallel.exchange import (AXIS, DROP_ROW, _local_idx,
-                                         _owner_rows)
+                                         _owner_rows, slot_specs)
         from ..sketch.hotsketch import INVALID_ID
         from ..sketch.sharded import shard_of
 
@@ -327,7 +370,6 @@ class CafePart(Part):
         goff = jnp.asarray(self.global_offsets, dtype=jnp.int32)
         hsz = jnp.asarray(self.hash_sizes, dtype=jnp.int32)
         hoff = jnp.asarray(self.hash_off, dtype=jnp.int32)
-        sgd = self.optimizer != "adagrad"
 
         # importance scores — identical math to the single-device path
         if self.use_freq:
@@ -341,11 +383,10 @@ class CafePart(Part):
         from ..sketch.sharded import (shard_global_view, shard_local_view,
                                       sketch_partition_specs)
         sk_specs = sketch_partition_specs(sk, AXIS)
-        acc = state.get("table_acc")
-        acc_in = acc if acc is not None else jnp.zeros((), jnp.float32)
-        acc_spec = P() if sgd else P(AXIS, None)
+        slots_in = self._slots_of(state, "table")
+        sl_specs = slot_specs(slots_in)
 
-        def f(tbl, ac, sk_g, oids_l, row_l, g_l, sc_l):
+        def f(tbl, sl, sk_g, oids_l, row_l, g_l, sc_l):
             bl, fl = oids_l.shape
             m = bl * fl
             me = jax.lax.axis_index(AXIS)
@@ -387,8 +428,12 @@ class CafePart(Part):
             src_row = jnp.where(gp_mask, src_row, DROP_ROW)
             mig = jax.lax.psum(_owner_rows(tbl, src_row), AXIS)
             dst = jnp.where(gp_mask, gp_slot, DROP_ROW)
-            tbl = tbl.at[_local_idx(rows_l, dst)].set(
-                mig.astype(tbl.dtype), mode="drop")
+            dst_l = _local_idx(rows_l, dst)
+            tbl = tbl.at[dst_l].set(mig.astype(tbl.dtype), mode="drop")
+            # promoted slots restart optimizer state (see single-dev path)
+            sl = {k: (v.at[dst_l].set(0.0, mode="drop")
+                      if getattr(v, "ndim", 0) == 2 else v)
+                  for k, v in sl.items()}
 
             # ---- dedup + owner-compute sparse update ------------------
             flat_row, g2 = coalesce(row_l.reshape(m),
@@ -397,25 +442,21 @@ class CafePart(Part):
             all_row = jax.lax.all_gather(flat_row, AXIS, tiled=True)
             all_g = jax.lax.all_gather(g2, AXIS, tiled=True)
             loc = _local_idx(rows_l, all_row)
-            if sgd:
-                tbl = sparse_sgd(tbl, loc, all_g, lr)
-            else:
-                tbl, ac = sparse_adagrad(tbl, ac, loc, all_g, lr)
+            tbl, sl = apply_rows(tbl, sl, loc, all_g, lr, self.optimizer)
 
             n_promo = jax.lax.psum(keep.sum(dtype=jnp.int32), AXIS)
-            return tbl, ac, shard_global_view(st), n_promo
+            return tbl, sl, shard_global_view(st), n_promo
 
-        table, acc_out, new_sk, n_promo = shard_map(
+        table, slots_out, new_sk, n_promo = shard_map(
             f, self.mesh,
-            in_specs=(P(AXIS, None), acc_spec, sk_specs,
+            in_specs=(P(AXIS, None), sl_specs, sk_specs,
                       P(AXIS, None), P(AXIS, None),
                       P(AXIS, None, None), P(AXIS, None)),
-            out_specs=(P(AXIS, None), acc_spec, sk_specs, P()),
-        )(state["table"], acc_in, sk, oids, row, g_raw, scores)
+            out_specs=(P(AXIS, None), sl_specs, sk_specs, P()),
+        )(state["table"], slots_in, sk, oids, row, g_raw, scores)
 
-        out = {**state, "table": table, "sketch": new_sk}
-        if not sgd:
-            out["table_acc"] = acc_out
+        out = self._put_slots({**state, "table": table, "sketch": new_sk},
+                              "table", slots_out)
         stats = {
             "cafe_promotions": n_promo,
             "cafe_hot_frac": is_hot.mean(),

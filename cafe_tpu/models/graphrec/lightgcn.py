@@ -62,9 +62,10 @@ class LightGCNConfig:
     sketch_threshold: float = 500.0
     sketch_decay: float = 0.99
     seed: int = 0
-    # the reference trains with Adam (Procedure.py/world.py); adagrad is the
-    # scale-robust sparse-friendly analogue here, sgd matches the CTR parts
-    optimizer: str = "sgd"       # sgd | adagrad
+    # the reference trains with Adam (LightGCN/code/utils.py:39, lr 0.001
+    # per world.py); rows-Adam (ops/sparse.py) is the sparse-table form.
+    # sgd/adagrad kept for ablations.
+    optimizer: str = "adam"      # sgd | adagrad | adam
 
 
 class LightGCN:

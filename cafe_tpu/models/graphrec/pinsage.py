@@ -99,7 +99,10 @@ class PinSAGEConfig:
     compress_ratio: int = 1      # >1 enables CAFE (layers.py:81-90)
     sketch_threshold: float = 500.0
     seed: int = 0
-    optimizer: str = "sgd"       # embedding-table optimizer: sgd | adagrad
+    # applies to BOTH the conv params (dense Adam) and the embedding table
+    # (rows-Adam, ops/sparse.py). The reference trains with Adam
+    # (PinSAGE/model.py:133); sgd/adagrad kept for ablations.
+    optimizer: str = "adam"      # sgd | adagrad | adam
 
 
 class PinSAGE:
@@ -134,6 +137,9 @@ class PinSAGE:
                 "wn": xav((d, d)), "bn": jnp.zeros((d,), jnp.float32),
                 "wo": xav((2 * d, d)), "bo": jnp.zeros((d,), jnp.float32),
             }
+        from ...train.step import init_dense_opt
+        convs = [state[f"conv{li}"] for li in range(self.cfg.n_layers)]
+        state["opt"] = init_dense_opt(convs, self.cfg.optimizer)
         return state
 
     # -- weighted SAGE conv (layers.py WeightedSAGEConv) ----------------
@@ -189,9 +195,14 @@ class PinSAGE:
         convs = [state[k] for k in conv_keys]
         loss, (g_convs, g_raw) = jax.value_and_grad(
             loss_fn, argnums=(0, 1))(convs, raw)
+        from ...train.step import _dense_update
+        new_convs, new_opt = _dense_update(convs, list(g_convs),
+                                           state.get("opt"), lr,
+                                           self.cfg.optimizer)
         new_state = dict(state)
-        for k, cur, gr in zip(conv_keys, convs, g_convs):
-            new_state[k] = jax.tree.map(lambda p, gg: p - lr * gg, cur, gr)
+        new_state["opt"] = new_opt
+        for k, cur in zip(conv_keys, new_convs):
+            new_state[k] = cur
         embed, _ = self.part.apply_grads(state["embed"], ids, g_raw, aux,
                                          lr)
         new_state["embed"] = embed

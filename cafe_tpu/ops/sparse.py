@@ -59,6 +59,68 @@ def sparse_adagrad(table: jnp.ndarray, acc: jnp.ndarray, idx: jnp.ndarray,
     return table, acc
 
 
+def sparse_adam(table: jnp.ndarray, m: jnp.ndarray, v: jnp.ndarray,
+                t: jnp.ndarray, idx: jnp.ndarray, grad: jnp.ndarray,
+                lr: float, beta1: float = 0.9, beta2: float = 0.999,
+                eps: float = 1e-8):
+    """Rows-Adam ("lazy" Adam): first/second moments advance only for rows
+    touched this step; bias correction uses the table-global step count.
+
+    This is the sparse-friendly analogue of the reference graphrec's
+    torch.optim.Adam (TOIS_revision/PinSAGE/model.py:133,
+    LightGCN/code/utils.py:39): dense Adam would sweep/decay every vocab
+    row's moments each step — an O(vocab) pass the O(batch) update
+    contract forbids. On rows that ARE touched the math is exactly Adam's.
+    Returns (table, m, v, t)."""
+    uidx, ugrad = coalesce(idx, grad, drop_sentinel=table.shape[0])
+    t = t + 1
+    safe = jnp.clip(uidx, 0, table.shape[0] - 1)
+    m_rows = beta1 * m[safe] + (1.0 - beta1) * ugrad
+    v_rows = beta2 * v[safe] + (1.0 - beta2) * (ugrad * ugrad)
+    m = m.at[uidx].set(m_rows, mode="drop")
+    v = v.at[uidx].set(v_rows, mode="drop")
+    tf = t.astype(jnp.float32)
+    bc1 = 1.0 - beta1 ** tf
+    bc2 = 1.0 - beta2 ** tf
+    upd = lr * (m_rows / bc1) / (jnp.sqrt(v_rows / bc2) + eps)
+    table = table.at[uidx].add(-upd.astype(table.dtype), mode="drop")
+    return table, m, v, t
+
+
+# optimizer -> {slot name -> state-key suffix}; the shared vocabulary for
+# Part state dicts ("table_acc", "table_m", ...) and the sharded exchange
+SLOT_SUFFIXES = {
+    "sgd": {},
+    "adagrad": {"acc": "_acc"},
+    "adam": {"m": "_m", "v": "_v", "t": "_t"},
+}
+
+
+def init_slots(table: jnp.ndarray, optimizer: str) -> dict:
+    """Fresh optimizer-slot dict for `table` (keys are slot NAMES, not
+    state keys): {} sgd, {acc} adagrad, {m, v, t} adam."""
+    if optimizer == "adagrad":
+        return {"acc": jnp.zeros_like(table)}
+    if optimizer == "adam":
+        return {"m": jnp.zeros_like(table), "v": jnp.zeros_like(table),
+                "t": jnp.zeros((), jnp.int32)}
+    return {}
+
+
+def apply_rows(table: jnp.ndarray, slots: dict, idx: jnp.ndarray,
+               grad: jnp.ndarray, lr: float, optimizer: str):
+    """Unified sparse row update: dispatch on optimizer with `slots` as
+    produced by init_slots. Returns (table, slots)."""
+    if optimizer == "adagrad":
+        table, acc = sparse_adagrad(table, slots["acc"], idx, grad, lr)
+        return table, {"acc": acc}
+    if optimizer == "adam":
+        table, m, v, t = sparse_adam(table, slots["m"], slots["v"],
+                                     slots["t"], idx, grad, lr)
+        return table, {"m": m, "v": v, "t": t}
+    return sparse_sgd(table, idx, grad, lr), {}
+
+
 def segment_rows(values: jnp.ndarray, seg_ids: jnp.ndarray,
                  num_segments: int) -> jnp.ndarray:
     return jax.ops.segment_sum(values, seg_ids, num_segments=num_segments)

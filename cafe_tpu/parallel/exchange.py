@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.sparse import coalesce, sparse_adagrad, sparse_sgd
+from ..ops.sparse import apply_rows, coalesce
 from .embedding_parallel import shard_map
 
 AXIS = "data"
@@ -65,6 +65,19 @@ def _local_idx(rows_l: int, all_idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((loc >= 0) & (loc < rows_l), loc, rows_l)
 
 
+def owner_lookup_1d(arr_l: jnp.ndarray, all_idx: jnp.ndarray) -> jnp.ndarray:
+    """Range-sharded 1-D array lookup inside shard_map: each device
+    answers the lanes whose global index falls in its shard; since every
+    lane has exactly one owner, a psum of the masked answers publishes
+    the exact values (works for any payload incl. negatives)."""
+    rows_l = arr_l.shape[0]
+    lo = jax.lax.axis_index(AXIS) * rows_l
+    loc = all_idx - lo
+    mine = (loc >= 0) & (loc < rows_l)
+    vals = arr_l[jnp.clip(loc, 0, rows_l - 1)]
+    return jax.lax.psum(jnp.where(mine, vals, 0), AXIS)
+
+
 def sharded_fetch(mesh: Mesh, table: jnp.ndarray,
                   idx: jnp.ndarray) -> jnp.ndarray:
     """Row-sharded table [R, D] x batch-sharded global rows [B, F]
@@ -82,16 +95,23 @@ def sharded_fetch(mesh: Mesh, table: jnp.ndarray,
                      out_specs=P(AXIS, None, None))(table, idx)
 
 
-def sharded_apply(mesh: Mesh, table: jnp.ndarray, acc, idx: jnp.ndarray,
+def slot_specs(slots):
+    """PartitionSpecs for an optimizer-slot dict: row-shaped slots (adagrad
+    acc, adam m/v) shard with the table; scalars (adam's t) replicate."""
+    return jax.tree.map(
+        lambda leaf: P(AXIS, None) if getattr(leaf, "ndim", 0) == 2
+        else P(), slots)
+
+
+def sharded_apply(mesh: Mesh, table: jnp.ndarray, slots, idx: jnp.ndarray,
                   grad: jnp.ndarray, lr, optimizer: str):
     """Owner-compute sparse update: (idx [B,F] global rows, grad [B,F,D])
     batch-sharded; duplicate ids dedup locally before the exchange.
-    Returns (table, acc) with acc=None for SGD."""
-    sgd = optimizer != "adagrad"
-    if acc is None:
-        acc = jnp.zeros((), jnp.float32)  # placeholder leaf for shard_map
+    `slots` is the optimizer-slot dict from ops.sparse.init_slots
+    ({} sgd / {acc} adagrad / {m,v,t} adam); row slots shard with the
+    table. Returns (table, slots)."""
 
-    def f(tbl, ac, idx_l, g_l):
+    def f(tbl, sl, idx_l, g_l):
         m = idx_l.size
         flat = idx_l.reshape(m)
         g = g_l.reshape(m, -1)
@@ -100,15 +120,12 @@ def sharded_apply(mesh: Mesh, table: jnp.ndarray, acc, idx: jnp.ndarray,
         all_idx = jax.lax.all_gather(flat, AXIS, tiled=True)
         all_g = jax.lax.all_gather(g, AXIS, tiled=True)
         loc = _local_idx(tbl.shape[0], all_idx)
-        if sgd:
-            return sparse_sgd(tbl, loc, all_g, lr), ac
-        return sparse_adagrad(tbl, ac, loc, all_g, lr)
+        return apply_rows(tbl, sl, loc, all_g, lr, optimizer)
 
-    acc_spec = P() if sgd else P(AXIS, None)
-    new_tbl, new_acc = shard_map(
+    specs = slot_specs(slots)
+    return shard_map(
         f, mesh,
-        in_specs=(P(AXIS, None), acc_spec, P(AXIS, None),
+        in_specs=(P(AXIS, None), specs, P(AXIS, None),
                   P(AXIS, None, None)),
-        out_specs=(P(AXIS, None), acc_spec),
-    )(table, acc, idx, grad)
-    return new_tbl, (None if sgd else new_acc)
+        out_specs=(P(AXIS, None), specs),
+    )(table, slots, idx, grad)

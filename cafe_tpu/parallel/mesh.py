@@ -44,4 +44,18 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
                 f"requested a {n_devices}-device mesh but only "
                 f"{len(devs)} devices are available")
         devs = devs[:n_devices]
+        if jax.process_count() > 1 and n_devices < len(jax.devices()):
+            # a device-subset mesh under multi-process execution would
+            # exclude some process's local devices, after which
+            # make_array_from_process_local_data fails opaquely — reject
+            # up front with the fix spelled out
+            missing = [p for p in range(jax.process_count())
+                       if not any(d.process_index == p for d in devs)]
+            if missing:
+                raise ValueError(
+                    f"mesh_shape {n_devices} covers no devices of "
+                    f"process(es) {missing}; under multi-process "
+                    f"execution the mesh must include every process's "
+                    f"local devices (use the full {len(jax.devices())}"
+                    f"-device mesh or launch fewer processes)")
     return Mesh(np.asarray(devs), axis_names=("data",))

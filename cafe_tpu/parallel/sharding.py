@@ -22,10 +22,11 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# state-leaf names that hold per-row embedding data
-_ROW_SHARDED_2D = {"table", "hash", "high", "q", "r", "hot", "cold",
-                   "weight", "table_acc", "hash_acc", "high_acc", "q_acc",
-                   "r_acc", "hot_acc", "cold_acc", "weight_acc"}
+# state-leaf names that hold per-row embedding data; optimizer slots
+# (adagrad _acc, adam _m/_v) shard exactly like their table
+_ROW_TABLES = {"table", "hash", "high", "q", "r", "hot", "cold", "weight"}
+_ROW_SHARDED_2D = {t + sfx for t in _ROW_TABLES
+                   for sfx in ("", "_acc", "_m", "_v")}
 _ROW_SHARDED_1D = {"dic", "grad_norm", "hot_dict"}
 # sketch bucket arrays: v1 (val/cnt; dic handled by name) and the CAFE+
 # two-tier state (main tier val1/cnt1/dic1, staging val2/cnt2/dic2/ts2)

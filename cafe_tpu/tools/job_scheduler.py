@@ -53,8 +53,10 @@ def load_tasks(config_file: str,
         keys = list(flags.keys())
         diff = "compress_rate" if "compress_rate" in flags else keys[0]
         if diff != "compress_rate" and len(flags) > 1:
-            raise AssertionError(
-                "Not support more than 1 difference besides compress_rate!")
+            raise ValueError(
+                f"section {met!r} sweeps {keys} without compress_rate: "
+                f"only compress_rate may anchor a multi-knob zip (other "
+                f"lists pair WITH it, one value per rate)")
         lens = {k: len(v) for k, v in flags.items()}
         if len(set(lens.values())) > 1:
             raise ValueError(

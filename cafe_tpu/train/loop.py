@@ -125,9 +125,15 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
 
     # cache device-staged batches when cycling a SMALL test set in
     # throughput mode — re-uploading identical host batches every cycle
-    # measures the transfer link, not the serving path (bounded so a
-    # full-scale test set never tries to live on-chip)
-    _CACHE_ROWS = 2_000_000
+    # measures the transfer link, not the serving path. Bounded by
+    # estimated BYTES (dense f32 + sparse i32 per row), not rows: at
+    # Criteo shapes 2M rows would be ~300 MB of device memory on top of
+    # model state.
+    _CACHE_BYTES = 256 << 20
+    row_bytes = 4 * (test_data.sparse.shape[1]
+                     + (0 if test_data.dense is None
+                        else test_data.dense.shape[1]))
+    cacheable = len(test_data) * max(row_bytes, 1) <= _CACHE_BYTES
 
     def _stream():
         if not throughput:
@@ -135,7 +141,7 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
             return
         # latency protocol (main.py:51-81): 10 warmup + 1014 timed batches;
         # cycle small test sets so the protocol works at any scale
-        cache = [] if len(test_data) <= _CACHE_ROWS else None
+        cache = [] if cacheable else None
         got = False
         for b in batch_iterator(test_data, cfg.test_mini_batch_size):
             got = True

@@ -33,16 +33,40 @@ def init_state(model, embed_layer, seed: int, optimizer: str) -> TrainState:
     key = jax.random.PRNGKey(seed)
     params = model.init(key)
     embed_state, embed_dense = embed_layer.init(seed)
-    opt = None
-    if optimizer == "adagrad":
-        opt = jax.tree.map(jnp.zeros_like, (params, embed_dense))
+    opt = init_dense_opt((params, embed_dense), optimizer)
     return TrainState(params, embed_state, embed_dense, opt,
                       jnp.zeros((), jnp.int32))
+
+
+def init_dense_opt(params, optimizer: str):
+    """Dense-optimizer slots for a param tree: None (sgd), grad² accumulator
+    tree (adagrad), or (m, v, t) (adam — the reference graphrec's optimizer,
+    PinSAGE/model.py:133, LightGCN/code/utils.py:39)."""
+    if optimizer == "adagrad":
+        return jax.tree.map(jnp.zeros_like, params)
+    if optimizer == "adam":
+        return (jax.tree.map(jnp.zeros_like, params),
+                jax.tree.map(jnp.zeros_like, params),
+                jnp.zeros((), jnp.int32))
+    return None
 
 
 def _dense_update(params, grads, acc, lr, kind):
     if kind == "sgd":
         return jax.tree.map(lambda p, g: p - lr * g, params, grads), acc
+    if kind == "adam":
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        m, v, t = acc
+        t = t + 1
+        m = jax.tree.map(lambda mm, g: b1 * mm + (1 - b1) * g, m, grads)
+        v = jax.tree.map(lambda vv, g: b2 * vv + (1 - b2) * g * g, v, grads)
+        tf = t.astype(jnp.float32)
+        bc1, bc2 = 1.0 - b1 ** tf, 1.0 - b2 ** tf
+        new_params = jax.tree.map(
+            lambda p, mm, vv: p - lr * (mm / bc1) / (jnp.sqrt(vv / bc2)
+                                                     + eps),
+            params, m, v)
+        return new_params, (m, v, t)
     # adagrad (torch semantics, eps 1e-10)
     new_acc = jax.tree.map(lambda a, g: a + g * g, acc, grads)
     new_params = jax.tree.map(
@@ -127,14 +151,18 @@ def build_multi_step(train_step, k: int, donate: bool = False):
             v_i = jnp.clip(valid - i * b, 0, b)
             dx = None if dense_x is None else dense_x[sl]
             state, m = inner(state, dx, ids[sl], labels[sl], v_i)
-            m = {**m, "loss": m["loss"] * m["weight"]}
+            # weight both the loss AND fraction-style diagnostics by the
+            # sub-batch's valid count so fully padded tail sub-batches
+            # don't bias them toward zero
+            m = {name: (v * m["weight"]
+                        if name == "loss" or name.endswith("_frac") else v)
+                 for name, v in m.items()}
             agg = m if agg is None else jax.tree.map(jnp.add, agg, m)
         # hand back the same shape of metrics a single step produces:
-        # "loss" is the weighted mean over all k sub-batches, and
-        # fraction-style diagnostics (*_frac) average instead of summing
-        # (mirroring EmbeddingLayer.apply_grads' convention)
-        agg = {**agg, "loss": agg["loss"] / jnp.maximum(agg["weight"], 1.0)}
-        agg = {name: (v / k if name.endswith("_frac") else v)
+        # weighted means for loss and *_frac, sums for counters
+        denom = jnp.maximum(agg["weight"], 1.0)
+        agg = {name: (v / denom
+                      if name == "loss" or name.endswith("_frac") else v)
                for name, v in agg.items()}
         return state, agg
 

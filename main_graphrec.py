@@ -244,12 +244,14 @@ def main(argv=None):
                    help="pinsage only")
     p.add_argument("--dim", type=int, default=64)
     p.add_argument("--layers", type=int, default=3)
-    p.add_argument("--lr", type=float, default=0.1)
-    p.add_argument("--optimizer", choices=["sgd", "adagrad"],
-                   default="adagrad",
-                   help="embedding optimizer; the reference uses Adam — "
-                        "adagrad is the sparse-friendly analogue (its lr "
-                        "scale differs from the reference's 0.001)")
+    p.add_argument("--lr", type=float, default=0.001,
+                   help="the reference's Adam regime (world.py:48-49, "
+                        "PinSAGE model.py:133); use ~0.1 with sgd/adagrad")
+    p.add_argument("--optimizer", choices=["sgd", "adagrad", "adam"],
+                   default="adam",
+                   help="dense params get dense Adam, embedding tables "
+                        "rows-Adam (ops/sparse.py); matches the reference "
+                        "(PinSAGE/model.py:133, LightGCN/code/utils.py:39)")
     p.add_argument("--weight_decay", type=float, default=1e-4)
     p.add_argument("--topk", type=int, default=20)
     # CAFE knobs (world.py:48-49 defaults; compress_rate 1.0 = full table)

@@ -293,8 +293,7 @@ def test_offpart_zero_cold_falls_back_to_hot_table():
     st = part.init(np.random.default_rng(0))
     ids = jnp.asarray([[3], [7], [4], [6]])  # hot, hot, cold, cold
     rows, aux = part.gather(st, ids)
-    hot = np.asarray(st.hot)[: 2] if hasattr(st, "hot") else \
-        np.asarray(st["hot"])[:2]
+    hot = np.asarray(st["table"])[:2]  # unified layout: hot rows first
     np.testing.assert_allclose(np.asarray(rows[0, 0]), hot[0])
     np.testing.assert_allclose(np.asarray(rows[1, 0]), hot[1])
     # cold ids 4 and 6 -> hot rows 4%2=0 and 6%2=0 of the hot table

@@ -186,6 +186,86 @@ class TestExplicitProductionPath:
             np.asarray(jax.device_get(s2.embed["part0"]["table_acc"])),
             atol=3e-5)
 
+    def test_adam_explicit_matches_single_device(self):
+        """Rows-Adam under the explicit exchange: m/v shard with the
+        table, the step scalar t replicates (exchange.slot_specs)."""
+        cfg = self._cfg(method="hash", compress_rate=0.2,
+                        optimizer="adam", learning_rate=0.003)
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        model, embed1, s1, step1, _ = build_all(cfg, train)
+        _, sharded, s2, _, _ = self._build_sharded(cfg, train)
+        for dense, sparse, label, valid in list(
+                batch_iterator(train, 128, drop_last=True))[:5]:
+            args = (jnp.asarray(dense), jnp.asarray(sparse),
+                    jnp.asarray(label), jnp.asarray(valid))
+            s1, m1 = step1(s1, *args)
+            s2, m2 = sharded(s2, *args)
+            assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                      rel=3e-4)
+        assert int(jax.device_get(s2.embed["part0"]["table_t"])) == 5
+        np.testing.assert_allclose(
+            np.asarray(s1.embed["part0"]["table_v"]),
+            np.asarray(jax.device_get(s2.embed["part0"]["table_v"])),
+            atol=3e-5)
+        np.testing.assert_allclose(
+            np.asarray(s1.embed["part0"]["table"]),
+            np.asarray(jax.device_get(s2.embed["part0"]["table"])),
+            atol=3e-5)
+
+    def test_qr_explicit_matches_single_device(self):
+        """QR under the explicit exchange: the quotient table row-shards
+        (owner-compute), the O(collisions) remainder table stays
+        replicated by design."""
+        from cafe_tpu.embeddings.base import QRPart
+        cfg = self._cfg(method="qr", compress_rate=0.05)
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        model, embed1, s1, step1, _ = build_all(cfg, train)
+        embed2, sharded, s2, _, _ = self._build_sharded(cfg, train)
+        qr = [p for p in embed2.parts if isinstance(p, QRPart)]
+        assert qr and all(p.mesh is not None for p in qr), \
+            "QR part did not activate the explicit exchange"
+        for dense, sparse, label, valid in list(
+                batch_iterator(train, 128, drop_last=True))[:5]:
+            args = (jnp.asarray(dense), jnp.asarray(sparse),
+                    jnp.asarray(label), jnp.asarray(valid))
+            s1, m1 = step1(s1, *args)
+            s2, m2 = sharded(s2, *args)
+            assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                      rel=3e-4)
+        for key in ("q", "r"):
+            np.testing.assert_allclose(
+                np.asarray(s1.embed["part0"][key]),
+                np.asarray(jax.device_get(s2.embed["part0"][key])),
+                atol=3e-5)
+
+    def test_off_explicit_matches_single_device(self):
+        """Off under the explicit exchange: unified hot/cold table
+        row-shards; the hot_dict row-shards and is answered owner-compute
+        (never replicated, never gathered)."""
+        from cafe_tpu.embeddings.base import OffPart
+        cfg = self._cfg(method="off", compress_rate=0.05)
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        model, embed1, s1, step1, _ = build_all(cfg, train)
+        embed2, sharded, s2, _, _ = self._build_sharded(cfg, train)
+        off = [p for p in embed2.parts if isinstance(p, OffPart)]
+        assert off and all(p.mesh is not None for p in off), \
+            "Off part did not activate the explicit exchange"
+        for dense, sparse, label, valid in list(
+                batch_iterator(train, 128, drop_last=True))[:5]:
+            args = (jnp.asarray(dense), jnp.asarray(sparse),
+                    jnp.asarray(label), jnp.asarray(valid))
+            s1, m1 = step1(s1, *args)
+            s2, m2 = sharded(s2, *args)
+            assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                      rel=3e-4)
+        np.testing.assert_allclose(
+            np.asarray(s1.embed["part0"]["table"]),
+            np.asarray(jax.device_get(s2.embed["part0"]["table"])),
+            atol=3e-5)
+
     def test_cafe_sharded_sketch_invariants(self):
         """After training: every shard's allocated + free local slots
         partition [1, S_l), and globally no hot slot serves two ids."""
@@ -261,15 +341,23 @@ class TestExplicitProductionPath:
         assert auc_sharded > auc_single - 0.01, \
             f"sharded {auc_sharded:.4f} vs single {auc_single:.4f}"
 
-    def test_hlo_no_table_sized_collectives(self):
+    @pytest.mark.parametrize("method,cr,vocab", [
+        (None, 1.0, 262144), ("hash", 0.2, 2 ** 20),
+        ("qr", 0.05, 2 ** 21), ("off", 0.05, 2 ** 22),
+    ])
+    def test_hlo_no_table_sized_collectives(self, method, cr, vocab):
         """Compile the sharded step and audit every collective: nothing
         close to table size may move (the auto-partitioner's legal
-        fallback all-gathers the table; the explicit path must not)."""
+        fallback all-gathers the table; the explicit path must not) —
+        for EVERY method with an explicit exchange. CAFE/Ada have their
+        own audits (migration/rebuild traffic classes)."""
         from cafe_tpu.tools.hlo_traffic import collective_stats
-        cfg = self._cfg(method=None, compress_rate=1.0, vocab=262144)
+        cfg = self._cfg(method=method, compress_rate=cr, vocab=vocab)
         from cafe_tpu.train.loop import get_dataset
         train = get_dataset(cfg, "train")
         embed, sharded, st, _, _ = self._build_sharded(cfg, train)
+        assert any(p.mesh is not None for p in embed.parts), \
+            f"{method}: no part activated the explicit exchange"
         dense, sparse, label, valid = next(iter(
             batch_iterator(train, 128, drop_last=True)))
         args = (st, jnp.asarray(dense), jnp.asarray(sparse),
@@ -277,17 +365,23 @@ class TestExplicitProductionPath:
         txt = sharded.lower(*args).compile().as_text()
         stats = collective_stats(txt)
         assert stats, "no collectives found — not actually sharded?"
-        table_bytes = 4 * 16 * st.embed["part0"]["table"].shape[0]
-        # two legitimate traffic classes: the O(batch) embedding exchange
-        # and the O(params) DP dense-tower grad all-reduce; both are far
-        # below table size
+        part0 = st.embed["part0"]
+        big_table = max(v.shape[0] for k, v in part0.items()
+                        if getattr(v, "ndim", 0) == 2)
+        table_bytes = 4 * 16 * big_table
+        # legitimate traffic classes: the O(batch) embedding exchange,
+        # the O(params) DP dense-tower grad all-reduce, and (qr only) the
+        # replicated O(collisions) remainder-table grad all-reduce
         m_ids = 128 * 4
         dense_bytes = 4 * sum(l.size for l in jax.tree.leaves(st.params))
         bound = max(8 * m_ids * (16 + 4) * 4, 2 * dense_bytes)
+        if method == "qr":
+            r_bytes = 4 * np.prod(part0["r"].shape)
+            bound = max(bound, 2 * int(r_bytes))
         assert bound < table_bytes // 8
         big = [c for c in stats if c.result_bytes > bound]
         assert not big, (
-            f"collectives exceed the O(batch) bound {bound}B "
+            f"{method}: collectives exceed the O(batch) bound {bound}B "
             f"(table={table_bytes}B): "
             + "; ".join(f"{c.op}:{c.result_bytes}B" for c in big[:5]))
         # bytes-moved model check (PERF.md): per step the embedding
@@ -298,9 +392,12 @@ class TestExplicitProductionPath:
         # if each individual op snuck under the per-op bound
         total = sum(c.result_bytes for c in stats)
         model_bytes = m_ids * 4 + 2 * m_ids * 16 * 4   # ids + fwd/bwd rows
-        assert total <= 8 * (model_bytes + dense_bytes), (
-            f"total collective bytes {total} >> model "
-            f"{model_bytes}+{dense_bytes}")
+        slack = 8 if method in (None, "hash") else 16
+        extra = 0 if method != "qr" else int(
+            4 * np.prod(part0["r"].shape))
+        assert total <= slack * (model_bytes + dense_bytes + extra), (
+            f"{method}: total collective bytes {total} >> model "
+            f"{model_bytes}+{dense_bytes}+{extra}")
 
     def test_hlo_cafe_no_table_sized_collectives(self):
         from cafe_tpu.tools.hlo_traffic import collective_stats
@@ -420,6 +517,43 @@ class TestExplicitProductionPath:
             ev(st, jnp.asarray(dense), jnp.asarray(sparse))))
         p_q = np.asarray(jax.device_get(
             q8(host_state, jnp.asarray(dense), jnp.asarray(sparse))))
+        assert np.abs(p_f - p_q).mean() < 0.01
+
+    def test_meshless_serving_of_sharded_state(self):
+        """A sharded-trained checkpoint served on a single chip WITHOUT a
+        mesh: enable_sharded_layout adopts the n-shard state layout so
+        load + int8 serving work where no mesh exists (the deployment
+        story ADVICE r2 flagged as unreachable)."""
+        from cafe_tpu.embeddings.cafe import CafePart
+        from cafe_tpu.train.step import build_quantized_eval_step
+        cfg = self._cfg()
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        embed, sharded, st, ev, mesh = self._build_sharded(cfg, train)
+        batches = list(batch_iterator(train, 128, drop_last=True))[:15]
+        for dense, sparse, label, valid in batches:
+            st, _ = sharded(st, jnp.asarray(dense), jnp.asarray(sparse),
+                            jnp.asarray(label), jnp.asarray(valid))
+        host_state = jax.device_get(st)
+        # fresh single-chip build: NO mesh anywhere; layout must be
+        # enabled BEFORE state init so the restore template matches
+        from cafe_tpu.train.step import init_state
+        model2, embed2, _, _, _ = build_all(cfg, train)
+        n = mesh.devices.size
+        for p in embed2.parts:
+            if isinstance(p, CafePart):
+                assert p.mesh is None
+                assert p.enable_sharded_layout(n)
+        fresh = init_state(model2, embed2, cfg.numpy_rand_seed,
+                           cfg.optimizer)
+        # template structure must fit the sharded state (free_top [n] ...)
+        st2 = jax.tree.map(lambda a, b: jnp.asarray(b),
+                           fresh, host_state)  # structure check + load
+        q8 = build_quantized_eval_step(model2, embed2, st2, 8)
+        dense, sparse, label, valid = batches[0]
+        p_f = np.asarray(jax.device_get(
+            ev(st, jnp.asarray(dense), jnp.asarray(sparse))))
+        p_q = np.asarray(q8(st2, jnp.asarray(dense), jnp.asarray(sparse)))
         assert np.abs(p_f - p_q).mean() < 0.01
 
     def test_separate_field_sharded(self):

@@ -106,6 +106,64 @@ class TestLearning:
         metrics, _ = _train_eval(cfg, train, test, epochs=1)
         assert np.isfinite(metrics["roc_auc"])
 
+    def test_adam_optimizer(self, skewed_data):
+        """Adam end-to-end: dense towers get dense Adam, the CAFE table
+        rows-Adam (ops/sparse.py sparse_adam). Reference graphrec trains
+        with Adam (PinSAGE/model.py:133); CTR drivers gain it as an extra
+        beyond the reference's sgd/adagrad surface (main.py:268-275)."""
+        train, test = _split(skewed_data)
+        cfg = Config(dataset="synthetic", optimizer="adam",
+                     embedding_dim=8, learning_rate=0.003,
+                     compress_method="cafe", compress_rate=0.01,
+                     cafe_sketch_threshold=20.0, test_mini_batch_size=4096)
+        metrics, state = _train_eval(cfg, train, test, epochs=1)
+        assert np.isfinite(metrics["roc_auc"])
+        part = state.embed["part0"]
+        assert int(part["table_t"]) > 0
+        assert float(jnp.abs(part["table_m"]).max()) > 0.0
+
+
+class TestRowsAdamMath:
+    def test_matches_dense_adam_on_touched_rows(self):
+        """sparse_adam == dense Adam restricted to touched rows (with
+        table-global step count for bias correction)."""
+        from cafe_tpu.ops.sparse import init_slots, sparse_adam
+        rng = np.random.default_rng(0)
+        N, D, lr, b1, b2, eps = 12, 4, 0.01, 0.9, 0.999, 1e-8
+        table = rng.normal(size=(N, D)).astype(np.float32)
+        t0 = jnp.asarray(table)
+        sl = init_slots(t0, "adam")
+        m, v, t = sl["m"], sl["v"], sl["t"]
+        ref, rm, rv = table.copy(), np.zeros_like(table), np.zeros_like(table)
+        for step in range(1, 5):
+            idx = rng.integers(0, N, size=7).astype(np.int32)
+            grad = rng.normal(size=(7, D)).astype(np.float32)
+            t0, m, v, t = sparse_adam(t0, m, v, t, jnp.asarray(idx),
+                                      jnp.asarray(grad), lr)
+            coalesced = {}
+            for i, g in zip(idx, grad):
+                coalesced[int(i)] = coalesced.get(int(i), 0) + g
+            for i, g in coalesced.items():
+                rm[i] = b1 * rm[i] + (1 - b1) * g
+                rv[i] = b2 * rv[i] + (1 - b2) * g * g
+                ref[i] -= lr * (rm[i] / (1 - b1 ** step)) / (
+                    np.sqrt(rv[i] / (1 - b2 ** step)) + eps)
+        assert int(t) == 4
+        np.testing.assert_allclose(np.asarray(t0), ref, atol=2e-6)
+
+    def test_untouched_rows_frozen(self):
+        from cafe_tpu.ops.sparse import init_slots, sparse_adam
+        t0 = jnp.ones((8, 3), jnp.float32)
+        sl = init_slots(t0, "adam")
+        idx = jnp.asarray([2, 2, 5], jnp.int32)
+        g = jnp.ones((3, 3), jnp.float32)
+        t1, m, v, t = sparse_adam(t0, sl["m"], sl["v"], sl["t"], idx, g,
+                                  0.1)
+        changed = np.abs(np.asarray(t1 - t0)).sum(axis=1) > 0
+        assert changed.tolist() == [False, False, True, False, False,
+                                    True, False, False]
+        assert np.abs(np.asarray(m)[[0, 1, 3, 4, 6, 7]]).max() == 0.0
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path, skewed_data):
