@@ -106,6 +106,10 @@ class Config:
                                        # step (in-place table updates; the old
                                        # state is invalid after each step)
     mesh_shape: Optional[int] = None   # number of devices for the data axis; None = all
+    mesh_inner: int = 0                # >0: two-level ("dcn","ici") mesh with this
+                                       # many ICI-adjacent chips per inner group;
+                                       # the exchange combines within "ici" before
+                                       # crossing "dcn" (hierarchical dedup)
     shard_embeddings: bool = False     # row-shard tables + sketch over the mesh
     shard_exchange: str = "explicit"   # explicit: shard_map dedup+AG/psum-scatter
                                        #   exchange with SHARD-LOCAL sketch
@@ -113,6 +117,12 @@ class Config:
                                        # auto: XLA SPMD partitioner derives the
                                        #   collectives (always bit-equal to the
                                        #   single-device step)
+    shard_unique_frac: float = 0.0     # >0: capacity-bounded unique-compact
+                                       # exchange — ship ceil(frac*batch) deduped
+                                       # ids/rows instead of full-batch buffers,
+                                       # with a full-size fallback step whenever
+                                       # any device sees more uniques (Zipf
+                                       # streams: uniques are 2-5x fewer)
     bf16: bool = False                 # bfloat16 matmuls in the dense towers
     # multi-host (pod) execution: every process runs the same program;
     # jax.distributed stitches their local chips into one global mesh and

@@ -230,6 +230,41 @@ def num_batches(data: CTRArrays, batch_size: int) -> int:
     return (len(data) + batch_size - 1) // batch_size
 
 
+def _read_block(data: CTRArrays, lo: int, hi: int):
+    """(dense, sparse, label) rows [lo, hi) through the dataset's own
+    access path (multi-day stitching / index split / mod_range)."""
+    multi = isinstance(data, _MultiFileCTRArrays)
+    if multi:
+        sparse, dense, label = data.read_rows(lo, hi)
+    elif data.index is not None:
+        rows = data.index[lo:hi]
+        sparse = data.sparse[rows]
+        dense = data.dense[rows] if data.dense is not None else None
+        label = data.label[rows]
+    else:
+        sparse = data.sparse[lo:hi]
+        dense = data.dense[lo:hi] if data.dense is not None else None
+        label = data.label[lo:hi]
+    sparse = np.ascontiguousarray(sparse, dtype=np.int32)
+    if not multi and data.mod_range > 0:
+        sparse = sparse % data.mod_range
+    label = np.asarray(label, dtype=np.float32)
+    if dense is not None:
+        dense = np.ascontiguousarray(dense, dtype=np.float32)
+    return dense, sparse, label
+
+
+def _pad_rows(dense, sparse, label, pad_src, pad: int):
+    """Append `pad` copies of the single-row pad source (dense?, sparse,
+    label) to each array."""
+    pd, ps, pl = pad_src
+    sparse = np.concatenate([sparse, ps.repeat(pad, 0)])
+    label = np.concatenate([label, pl.repeat(pad, 0)])
+    if dense is not None:
+        dense = np.concatenate([dense, pd.repeat(pad, 0)])
+    return dense, sparse, label
+
+
 def batch_iterator(data: CTRArrays, batch_size: int, *,
                    drop_last: bool = False,
                    start_batch: int = 0,
@@ -245,34 +280,53 @@ def batch_iterator(data: CTRArrays, batch_size: int, *,
     rem = max(n - base, 0)
     nb = rem // batch_size if drop_last else \
         (rem + batch_size - 1) // batch_size
-    multi = isinstance(data, _MultiFileCTRArrays)
     for b in range(start_batch, nb):
         lo = base + b * batch_size
         hi = min(lo + batch_size, n)
         valid = hi - lo
-        if multi:
-            sparse, dense, label = data.read_rows(lo, hi)
-        elif data.index is not None:
-            rows = data.index[lo:hi]
-            sparse = data.sparse[rows]
-            dense = data.dense[rows] if data.dense is not None else None
-            label = data.label[rows]
-        else:
-            sparse = data.sparse[lo:hi]
-            dense = data.dense[lo:hi] if data.dense is not None else None
-            label = data.label[lo:hi]
-        sparse = np.ascontiguousarray(sparse, dtype=np.int32)
-        if not multi and data.mod_range > 0:
-            sparse = sparse % data.mod_range
-        label = np.asarray(label, dtype=np.float32)
-        if dense is not None:
-            dense = np.ascontiguousarray(dense, dtype=np.float32)
+        dense, sparse, label = _read_block(data, lo, hi)
         if valid < batch_size:
-            pad = batch_size - valid
-            sparse = np.concatenate([sparse, sparse[:1].repeat(pad, 0)])
-            label = np.concatenate([label, label[:1].repeat(pad, 0)])
-            if dense is not None:
-                dense = np.concatenate([dense, dense[:1].repeat(pad, 0)])
+            pad_src = (None if dense is None else dense[:1], sparse[:1],
+                       label[:1])
+            dense, sparse, label = _pad_rows(dense, sparse, label,
+                                             pad_src, batch_size - valid)
+        yield dense, sparse, label, valid
+
+
+def process_batch_iterator(data: CTRArrays, batch_size: int, pid: int,
+                           nproc: int, *, drop_last: bool = False,
+                           start_batch: int = 0,
+                           start_row: int = 0) -> Iterator[Batch]:
+    """Per-process slice of batch_iterator's stream WITHOUT materializing
+    global batches: process p reads only rows
+    [lo + p*B/np, lo + (p+1)*B/np) of each global batch straight from the
+    memmap — host I/O and collation are 1/np of the global stream's.
+    Yields (dense_p, sparse_p, label_p, global_valid); the padded tail
+    reproduces the global iterator's padding (the GLOBAL batch's first
+    row) bit-exactly, so multi-host training matches single-process
+    loss-for-loss."""
+    per = batch_size // nproc
+    if per * nproc != batch_size:
+        raise ValueError(f"batch {batch_size} must divide by {nproc}")
+    n = len(data)
+    base = start_row
+    rem = max(n - base, 0)
+    nb = rem // batch_size if drop_last else \
+        (rem + batch_size - 1) // batch_size
+    for b in range(start_batch, nb):
+        glo = base + b * batch_size
+        valid = min(batch_size, n - glo)
+        lo = min(glo + pid * per, n)
+        hi = max(min(glo + pid * per + per, n), lo)
+        dense, sparse, label = _read_block(data, lo, hi)
+        if hi - lo < per:
+            # this slice extends into the global batch's padding, which
+            # repeats the global batch's FIRST row — fetch that one row
+            pd, ps, pl = _read_block(data, glo, glo + 1)
+            dense, sparse, label = _pad_rows(
+                dense, sparse, label,
+                (None if pd is None else pd[:1], ps[:1], pl[:1]),
+                per - (hi - lo))
         yield dense, sparse, label, valid
 
 

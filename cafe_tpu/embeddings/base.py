@@ -68,6 +68,9 @@ class Part:
     # the explicit shard_map exchange (parallel/exchange.py) instead of
     # plain indexing — row-sharded tables, O(batch) collectives
     mesh = None
+    # unique-compact exchange knob (exchange.unique_cap): fraction of the
+    # flattened batch to budget for distinct ids; 0 = full-size buffers
+    unique_frac = 0.0
 
     def init(self, rng: np.random.Generator) -> Dict:
         raise NotImplementedError
@@ -190,7 +193,8 @@ class HashedTablePart(Part):
         flat = (ids % real[None, :]) + off[None, :]
         if self.mesh is not None:
             from ..parallel.exchange import sharded_fetch
-            rows = sharded_fetch(self.mesh, state["table"], flat)
+            rows = sharded_fetch(self.mesh, state["table"], flat,
+                                 self.unique_frac)
         else:
             rows = state["table"][flat]
         if self.weighted:
@@ -236,7 +240,8 @@ class HashedTablePart(Part):
         from ..parallel.exchange import sharded_apply
         table, slots = sharded_apply(self.mesh, state[key],
                                      self._slots_of(state, key), idx2d,
-                                     g3d, lr, self.optimizer)
+                                     g3d, lr, self.optimizer,
+                                     self.unique_frac)
         return self._put_slots({**state, key: table}, key, slots)
 
     def quantize_for_serving(self, state, bits):
@@ -317,7 +322,8 @@ class QRPart(Part):
         qi, ri = self._rows(ids)
         if self.mesh is not None:
             from ..parallel.exchange import sharded_fetch
-            qv = sharded_fetch(self.mesh, state["q"], qi)
+            qv = sharded_fetch(self.mesh, state["q"], qi,
+                               self.unique_frac)
         else:
             qv = state["q"][qi]
         rv = state["r"][ri]
@@ -348,7 +354,8 @@ class QRPart(Part):
             from ..parallel.exchange import sharded_apply
             q_tbl, slots = sharded_apply(self.mesh, state["q"],
                                          self._slots_of(state, "q"), qi,
-                                         gq, lr, self.optimizer)
+                                         gq, lr, self.optimizer,
+                                         self.unique_frac)
             state = self._put_slots({**state, "q": q_tbl}, "q", slots)
         else:
             state = self._table_update(state, "q", qi.reshape(-1),
@@ -534,22 +541,23 @@ class OffPart(Part):
         Traffic: M*4 (ids) + M*4 (dict psum) + M*D*4 (rows) per device
         scale — O(batch), never O(vocab)."""
         from ..parallel.embedding_parallel import shard_map
-        from ..parallel.exchange import AXIS, _owner_rows, owner_lookup_1d
+        from ..parallel.exchange import (_owner_rows, mesh_axes,
+                                         owner_lookup_1d)
         from jax.sharding import PartitionSpec as P
+
+        ax = mesh_axes(self.mesh)
 
         def f(tbl, hdic, ids_l, gid_l):
             b_l, f_l = ids_l.shape
             m = b_l * f_l
-            me = jax.lax.axis_index(AXIS)
-            all_gid = jax.lax.all_gather(gid_l.reshape(m), AXIS,
-                                         tiled=True)
-            all_ids = jax.lax.all_gather(ids_l.reshape(m), AXIS,
-                                         tiled=True)
-            hd_all = owner_lookup_1d(hdic, all_gid)
+            me = jax.lax.axis_index(ax)
+            all_gid = jax.lax.all_gather(gid_l.reshape(m), ax, tiled=True)
+            all_ids = jax.lax.all_gather(ids_l.reshape(m), ax, tiled=True)
+            hd_all = owner_lookup_1d(hdic, all_gid, ax)
             row_all, hot_all = self._route(
                 all_ids.reshape(-1, f_l), hd_all.reshape(-1, f_l))
-            rows = _owner_rows(tbl, row_all.reshape(-1))
-            out = jax.lax.psum_scatter(rows, AXIS, scatter_dimension=0,
+            rows = _owner_rows(tbl, row_all.reshape(-1), ax)
+            out = jax.lax.psum_scatter(rows, ax, scatter_dimension=0,
                                        tiled=True)
             row_me = jax.lax.dynamic_slice(row_all.reshape(-1),
                                            (me * m,), (m,))
@@ -560,9 +568,8 @@ class OffPart(Part):
 
         raw, row, use_hot = shard_map(
             f, self.mesh,
-            in_specs=(P(AXIS, None), P(AXIS), P(AXIS, None),
-                      P(AXIS, None)),
-            out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS, None)),
+            in_specs=(P(ax, None), P(ax), P(ax, None), P(ax, None)),
+            out_specs=(P(ax, None, None), P(ax, None), P(ax, None)),
         )(state["table"], state["hot_dict"], ids, gid)
         return raw, (row, use_hot)
 
@@ -573,7 +580,8 @@ class OffPart(Part):
             from ..parallel.exchange import sharded_apply
             table, slots = sharded_apply(
                 self.mesh, state["table"], self._slots_of(state, "table"),
-                row, g_raw, lr, self.optimizer)
+                row, g_raw, lr, self.optimizer,
+                self.unique_frac)
             return self._put_slots({**state, "table": table}, "table",
                                    slots), {}
         state = self._table_update(state, "table", row.reshape(b * f),
@@ -606,14 +614,20 @@ class EmbeddingLayer:
         order = np.concatenate([p.field_idx for p in parts]).astype(np.int64)
         self._perm = np.argsort(order)
 
-    def set_mesh(self, mesh) -> List[str]:
+    def set_mesh(self, mesh, unique_frac: float = 0.0) -> List[str]:
         """Activate the explicit SPMD exchange (parallel/exchange.py) on
         every part that supports it — big hashed tables and CAFE parts
         (with shard-local sketches). Must run BEFORE init(); returns the
         names of the parts that activated (the rest stay replicated or
-        auto-partitioned)."""
-        return [f"part{i}:{type(p).__name__}"
-                for i, p in enumerate(self.parts) if p.enable_mesh(mesh)]
+        auto-partitioned). unique_frac > 0 turns on the capacity-bounded
+        unique-compact exchange on the parts that use the generic
+        fetch/apply."""
+        active = []
+        for i, p in enumerate(self.parts):
+            if p.enable_mesh(mesh):
+                p.unique_frac = float(unique_frac)
+                active.append(f"part{i}:{type(p).__name__}")
+        return active
 
     def init(self, seed: int) -> Tuple[Dict, Dict]:
         rng = np.random.default_rng(seed)

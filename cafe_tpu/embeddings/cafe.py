@@ -225,11 +225,12 @@ class CafePart(Part):
         import jax
         from jax.sharding import PartitionSpec as P
         from ..parallel.embedding_parallel import shard_map
-        from ..parallel.exchange import AXIS, _owner_rows
+        from ..parallel.exchange import _owner_rows, mesh_axes
         from ..sketch.hotsketch import INVALID_ID
         from ..sketch.sharded import (shard_local_view, shard_of,
                                       sketch_partition_specs)
 
+        AXIS = mesh_axes(self.mesh)
         n, s_l, lcfg = self.n_shards, self._s_l, self._lcfg
         hsz = jnp.asarray(self.hash_sizes, dtype=jnp.int32)
         hoff = jnp.asarray(self.hash_off, dtype=jnp.int32)
@@ -251,7 +252,7 @@ class CafePart(Part):
             field = jnp.arange(all_oids.shape[0]) % fl
             hrow_all = (all_oids % hsz[field]) + hoff[field] + self.hash_base
             row_all = jnp.where(slot_all > 0, slot_all, hrow_all)
-            rows = _owner_rows(tbl, row_all)
+            rows = _owner_rows(tbl, row_all, AXIS)
             out = jax.lax.psum_scatter(rows, AXIS, scatter_dimension=0,
                                        tiled=True)
             row_me = jax.lax.dynamic_slice(row_all, (me * m,), (m,))
@@ -358,10 +359,13 @@ class CafePart(Part):
         from jax.sharding import PartitionSpec as P
         from ..ops.sparse import apply_rows, coalesce
         from ..parallel.embedding_parallel import shard_map
-        from ..parallel.exchange import (AXIS, DROP_ROW, _local_idx,
-                                         _owner_rows, slot_specs)
+        from ..parallel.exchange import (DROP_ROW, _local_idx,
+                                         _owner_rows, mesh_axes,
+                                         slot_specs)
         from ..sketch.hotsketch import INVALID_ID
         from ..sketch.sharded import shard_of
+
+        AXIS = mesh_axes(self.mesh)
 
         oids, row, is_hot = aux
         b, f, d = g_raw.shape
@@ -384,7 +388,7 @@ class CafePart(Part):
                                       sketch_partition_specs)
         sk_specs = sketch_partition_specs(sk, AXIS)
         slots_in = self._slots_of(state, "table")
-        sl_specs = slot_specs(slots_in)
+        sl_specs = slot_specs(slots_in, AXIS)
 
         def f(tbl, sl, sk_g, oids_l, row_l, g_l, sc_l):
             bl, fl = oids_l.shape
@@ -426,9 +430,9 @@ class CafePart(Part):
             src_row = jnp.clip((gp_ids % hsz[pf]) + hoff[pf],
                                0, self.hash_rows - 1) + self.hash_base
             src_row = jnp.where(gp_mask, src_row, DROP_ROW)
-            mig = jax.lax.psum(_owner_rows(tbl, src_row), AXIS)
+            mig = jax.lax.psum(_owner_rows(tbl, src_row, AXIS), AXIS)
             dst = jnp.where(gp_mask, gp_slot, DROP_ROW)
-            dst_l = _local_idx(rows_l, dst)
+            dst_l = _local_idx(rows_l, dst, AXIS)
             tbl = tbl.at[dst_l].set(mig.astype(tbl.dtype), mode="drop")
             # promoted slots restart optimizer state (see single-dev path)
             sl = {k: (v.at[dst_l].set(0.0, mode="drop")
@@ -441,7 +445,7 @@ class CafePart(Part):
                                     drop_sentinel=int(DROP_ROW))
             all_row = jax.lax.all_gather(flat_row, AXIS, tiled=True)
             all_g = jax.lax.all_gather(g2, AXIS, tiled=True)
-            loc = _local_idx(rows_l, all_row)
+            loc = _local_idx(rows_l, all_row, AXIS)
             tbl, sl = apply_rows(tbl, sl, loc, all_g, lr, self.optimizer)
 
             n_promo = jax.lax.psum(keep.sum(dtype=jnp.int32), AXIS)

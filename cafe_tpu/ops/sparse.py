@@ -38,6 +38,42 @@ def coalesce(idx: jnp.ndarray, grad: jnp.ndarray,
     return out_idx, out_grad
 
 
+def unique_compact(idx: jnp.ndarray, capacity: int, drop_sentinel: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compact the distinct values of idx [M] into a fixed [capacity]
+    buffer (sorted order, sentinel in unused lanes). Also returns
+    inv [M] — each lane's position in the compact buffer (valid only when
+    n_unique <= capacity) — and n_unique. The capacity-bounded exchange
+    uses this to ship C instead of M ids when the batch is skewed."""
+    m = idx.shape[0]
+    order = jnp.argsort(idx)
+    sidx = idx[order]
+    head = jnp.concatenate([jnp.ones((1,), bool), sidx[1:] != sidx[:-1]])
+    seg = jnp.cumsum(head) - 1
+    uids = jnp.full((capacity,), drop_sentinel, idx.dtype).at[
+        jnp.where(head, seg, capacity)].set(sidx, mode="drop")
+    inv = jnp.zeros((m,), seg.dtype).at[order].set(seg)
+    return uids, inv, seg[-1] + 1
+
+
+def coalesce_compact(idx: jnp.ndarray, grad: jnp.ndarray, capacity: int,
+                     drop_sentinel: int
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """coalesce() variant that compacts the unique groups into a fixed
+    [capacity] buffer: (cidx [C], cgrad [C, D], n_unique). Groups beyond
+    capacity are DROPPED — callers must check n_unique <= capacity and
+    fall back to the full-size path (see exchange.sharded_apply)."""
+    order = jnp.argsort(idx)
+    sidx = idx[order]
+    sgrad = grad[order]
+    head = jnp.concatenate([jnp.ones((1,), bool), sidx[1:] != sidx[:-1]])
+    seg = jnp.cumsum(head) - 1
+    cgrad = jax.ops.segment_sum(sgrad, seg, num_segments=capacity)
+    cidx = jnp.full((capacity,), drop_sentinel, idx.dtype).at[
+        jnp.where(head, seg, capacity)].set(sidx, mode="drop")
+    return cidx, cgrad, seg[-1] + 1
+
+
 def sparse_sgd(table: jnp.ndarray, idx: jnp.ndarray, grad: jnp.ndarray,
                lr: float) -> jnp.ndarray:
     """SGD scatter update; duplicate indices sum naturally (== torch's

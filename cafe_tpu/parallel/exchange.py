@@ -46,86 +46,239 @@ AXIS = "data"
 DROP_ROW = 2**30
 
 
-def _owner_rows(tbl: jnp.ndarray, all_idx: jnp.ndarray) -> jnp.ndarray:
+def mesh_axes(mesh) -> tuple:
+    """The mesh's embedding-exchange axes: ("data",) for the flat mesh,
+    ("dcn", "ici") for the two-level mesh (mesh.make_mesh inner > 0).
+    Tables/batches shard over ALL axes jointly; collectives take the
+    tuple (flat semantics) or a single level (hierarchical exchange)."""
+    return tuple(mesh.axis_names)
+
+
+def _owner_rows(tbl: jnp.ndarray, all_idx: jnp.ndarray,
+                axes=AXIS) -> jnp.ndarray:
     """Rows of `tbl` (this device's shard) for global row ids `all_idx`;
     zeros for rows owned elsewhere."""
     rows_l = tbl.shape[0]
-    lo = jax.lax.axis_index(AXIS) * rows_l
+    lo = jax.lax.axis_index(axes) * rows_l
     loc = all_idx - lo
     mine = (loc >= 0) & (loc < rows_l)
     vals = tbl[jnp.clip(loc, 0, rows_l - 1)]
     return jnp.where(mine[:, None], vals, 0)
 
 
-def _local_idx(rows_l: int, all_idx: jnp.ndarray) -> jnp.ndarray:
+def _local_idx(rows_l: int, all_idx: jnp.ndarray,
+               axes=AXIS) -> jnp.ndarray:
     """Global row ids -> local indices, out-of-shard lanes -> rows_l
     (the scatter drop index)."""
-    lo = jax.lax.axis_index(AXIS) * rows_l
+    lo = jax.lax.axis_index(axes) * rows_l
     loc = all_idx - lo
     return jnp.where((loc >= 0) & (loc < rows_l), loc, rows_l)
 
 
-def owner_lookup_1d(arr_l: jnp.ndarray, all_idx: jnp.ndarray) -> jnp.ndarray:
+def owner_lookup_1d(arr_l: jnp.ndarray, all_idx: jnp.ndarray,
+                    axes=AXIS) -> jnp.ndarray:
     """Range-sharded 1-D array lookup inside shard_map: each device
     answers the lanes whose global index falls in its shard; since every
     lane has exactly one owner, a psum of the masked answers publishes
     the exact values (works for any payload incl. negatives)."""
     rows_l = arr_l.shape[0]
-    lo = jax.lax.axis_index(AXIS) * rows_l
+    lo = jax.lax.axis_index(axes) * rows_l
     loc = all_idx - lo
     mine = (loc >= 0) & (loc < rows_l)
     vals = arr_l[jnp.clip(loc, 0, rows_l - 1)]
-    return jax.lax.psum(jnp.where(mine, vals, 0), AXIS)
+    return jax.lax.psum(jnp.where(mine, vals, 0), axes)
 
 
-def sharded_fetch(mesh: Mesh, table: jnp.ndarray,
-                  idx: jnp.ndarray) -> jnp.ndarray:
+def unique_cap(m: int, frac: float) -> int:
+    """Per-device unique-id capacity for a flattened batch of m lanes:
+    ceil(m*frac) rounded up to 64 lanes; 0 (== off) when frac is 0 or the
+    cap wouldn't actually shrink the exchange."""
+    if frac <= 0.0:
+        return 0
+    c = ((int(m * frac) + 63) // 64) * 64
+    return c if 0 < c < m else 0
+
+
+def sharded_fetch(mesh: Mesh, table: jnp.ndarray, idx: jnp.ndarray,
+                  unique_frac: float = 0.0) -> jnp.ndarray:
     """Row-sharded table [R, D] x batch-sharded global rows [B, F]
-    -> [B, F, D] batch-sharded."""
+    -> [B, F, D] batch-sharded.
+
+    unique_frac > 0 enables the UNIQUE-COMPACT exchange: distinct row
+    ids compact into a C-lane buffer (C = unique_cap of the combining
+    scope), the exchange ships C rows instead of M, and a local expand
+    restores lanes — on skewed streams uniques are 2-5x fewer. If any
+    device overflows C the step falls back to the full-size path
+    (lax.cond on a replicated pmax — every device takes the same branch
+    so collectives stay aligned).
+
+    On a two-level ("dcn", "ici") mesh the exchange is HIERARCHICAL:
+    ids combine across the inner (ici) axis FIRST, so only the compact
+    unique set crosses the outer (dcn) axis — outer traffic C*D vs the
+    inner axis's M_host*D, honoring the "DCN only crossing" design
+    (SURVEY.md §2.6)."""
+    axes = mesh_axes(mesh)
+    two_level = len(axes) == 2
 
     def f(tbl, idx_l):
         b, fld = idx_l.shape
-        all_idx = jax.lax.all_gather(idx_l.reshape(-1), AXIS, tiled=True)
-        rows = _owner_rows(tbl, all_idx)
-        out = jax.lax.psum_scatter(rows, AXIS, scatter_dimension=0,
-                                   tiled=True)
+        m = b * fld
+        flat = idx_l.reshape(m)
+
+        def full_path(_):
+            all_idx = jax.lax.all_gather(flat, axes, tiled=True)
+            rows = _owner_rows(tbl, all_idx, axes)
+            return jax.lax.psum_scatter(rows, axes, scatter_dimension=0,
+                                        tiled=True)
+
+        if not two_level:
+            capacity = unique_cap(m, unique_frac)
+            if not capacity:
+                return full_path(None).reshape(b, fld, -1)
+            from ..ops.sparse import unique_compact
+            uids, inv, nu = unique_compact(flat, capacity, int(DROP_ROW))
+            over = jax.lax.pmax(nu, axes) > capacity
+
+            def compact_fn(_):
+                all_u = jax.lax.all_gather(uids, axes, tiled=True)
+                rows = _owner_rows(tbl, all_u, axes)
+                urows = jax.lax.psum_scatter(
+                    rows, axes, scatter_dimension=0, tiled=True)  # [C, D]
+                return urows[jnp.clip(inv, 0, capacity - 1)]
+
+            out = jax.lax.cond(over, full_path, compact_fn, None)
+            return out.reshape(b, fld, -1)
+
+        # ---- hierarchical: combine over "ici" before crossing "dcn" ----
+        dcn_ax, ici_ax = axes
+        n_ici = mesh.shape[ici_ax]
+        m_host = m * n_ici
+        ici_ids = jax.lax.all_gather(flat, ici_ax, tiled=True)  # [m_host]
+        capacity = unique_cap(m_host, unique_frac)
+        me_c = jax.lax.axis_index(ici_ax)
+
+        def hier(ids_x):
+            """ids_x: the host-combined id buffer every ici peer holds.
+            DCN leg: AG ids over dcn, owner-compute, ici-psum (partial
+            owners within the host), dcn psum_scatter back to one chunk
+            per host — replicated within the host."""
+            dcn_ids = jax.lax.all_gather(ids_x, dcn_ax, tiled=True)
+            rows = _owner_rows(tbl, dcn_ids, axes)
+            rows = jax.lax.psum(rows, ici_ax)
+            return jax.lax.psum_scatter(rows, dcn_ax,
+                                        scatter_dimension=0, tiled=True)
+
+        def full_fn(_):
+            host_rows = hier(ici_ids)            # [m_host, D] my host's
+            return jax.lax.dynamic_slice(
+                host_rows, (me_c * m, 0), (m, host_rows.shape[1]))
+
+        if not capacity:
+            return full_fn(None).reshape(b, fld, -1)
+
+        from ..ops.sparse import unique_compact
+        uids, inv, nu = unique_compact(ici_ids, capacity, int(DROP_ROW))
+        over = jax.lax.pmax(nu, axes) > capacity
+
+        def compact_fn(_):
+            urows = hier(uids)                   # [C, D] my host's uniques
+            inv_me = jax.lax.dynamic_slice(inv, (me_c * m,), (m,))
+            return urows[jnp.clip(inv_me, 0, capacity - 1)]
+
+        out = jax.lax.cond(over, full_fn, compact_fn, None)
         return out.reshape(b, fld, -1)
 
-    return shard_map(f, mesh, in_specs=(P(AXIS, None), P(AXIS, None)),
-                     out_specs=P(AXIS, None, None))(table, idx)
+    return shard_map(f, mesh, in_specs=(P(axes, None), P(axes, None)),
+                     out_specs=P(axes, None, None))(table, idx)
 
 
-def slot_specs(slots):
+def slot_specs(slots, axes=AXIS):
     """PartitionSpecs for an optimizer-slot dict: row-shaped slots (adagrad
     acc, adam m/v) shard with the table; scalars (adam's t) replicate."""
     return jax.tree.map(
-        lambda leaf: P(AXIS, None) if getattr(leaf, "ndim", 0) == 2
+        lambda leaf: P(axes, None) if getattr(leaf, "ndim", 0) == 2
         else P(), slots)
 
 
 def sharded_apply(mesh: Mesh, table: jnp.ndarray, slots, idx: jnp.ndarray,
-                  grad: jnp.ndarray, lr, optimizer: str):
+                  grad: jnp.ndarray, lr, optimizer: str,
+                  unique_frac: float = 0.0):
     """Owner-compute sparse update: (idx [B,F] global rows, grad [B,F,D])
     batch-sharded; duplicate ids dedup locally before the exchange.
     `slots` is the optimizer-slot dict from ops.sparse.init_slots
     ({} sgd / {acc} adagrad / {m,v,t} adam); row slots shard with the
-    table. Returns (table, slots)."""
+    table. unique_frac > 0 ships the deduped (id, grad) pairs in C-lane
+    buffers with a full-size fallback when any device overflows; on a
+    two-level mesh grads combine over "ici" before the (id, grad) pairs
+    cross "dcn" (see sharded_fetch). Returns (table, slots)."""
+    axes = mesh_axes(mesh)
+    two_level = len(axes) == 2
 
     def f(tbl, sl, idx_l, g_l):
         m = idx_l.size
         flat = idx_l.reshape(m)
         g = g_l.reshape(m, -1)
-        # local dedup: one lane per distinct row, summed grads
-        flat, g = coalesce(flat, g, drop_sentinel=int(DROP_ROW))
-        all_idx = jax.lax.all_gather(flat, AXIS, tiled=True)
-        all_g = jax.lax.all_gather(g, AXIS, tiled=True)
-        loc = _local_idx(tbl.shape[0], all_idx)
-        return apply_rows(tbl, sl, loc, all_g, lr, optimizer)
+        rows_l = tbl.shape[0]
 
-    specs = slot_specs(slots)
+        def apply_full(_):
+            fi, fg = coalesce(flat, g, drop_sentinel=int(DROP_ROW))
+            ai = jax.lax.all_gather(fi, axes, tiled=True)
+            ag = jax.lax.all_gather(fg, axes, tiled=True)
+            return apply_rows(tbl, sl, _local_idx(rows_l, ai, axes), ag,
+                              lr, optimizer)
+
+        if not two_level:
+            capacity = unique_cap(m, unique_frac)
+            if not capacity:
+                return apply_full(None)
+            from ..ops.sparse import coalesce_compact
+            cidx, cgrad, nu = coalesce_compact(flat, g, capacity,
+                                               int(DROP_ROW))
+            over = jax.lax.pmax(nu, axes) > capacity
+
+            def compact_fn(_):
+                ai = jax.lax.all_gather(cidx, axes, tiled=True)
+                ag = jax.lax.all_gather(cgrad, axes, tiled=True)
+                return apply_rows(tbl, sl, _local_idx(rows_l, ai, axes),
+                                  ag, lr, optimizer)
+
+            return jax.lax.cond(over, apply_full, compact_fn, None)
+
+        # ---- hierarchical: combine grads over "ici" first -------------
+        dcn_ax, ici_ax = axes
+        n_ici = mesh.shape[ici_ax]
+        m_host = m * n_ici
+        ici_ids = jax.lax.all_gather(flat, ici_ax, tiled=True)
+        ici_g = jax.lax.all_gather(g, ici_ax, tiled=True)
+        capacity = unique_cap(m_host, unique_frac)
+
+        def hier_apply(ids_x, g_x):
+            ai = jax.lax.all_gather(ids_x, dcn_ax, tiled=True)
+            ag = jax.lax.all_gather(g_x, dcn_ax, tiled=True)
+            return apply_rows(tbl, sl, _local_idx(rows_l, ai, axes), ag,
+                              lr, optimizer)
+
+        from ..ops.sparse import coalesce_compact
+        if not capacity:
+            ci, cg = coalesce(ici_ids, ici_g, drop_sentinel=int(DROP_ROW))
+            return hier_apply(ci, cg)
+        cidx, cgrad, nu = coalesce_compact(ici_ids, ici_g, capacity,
+                                           int(DROP_ROW))
+        over = jax.lax.pmax(nu, axes) > capacity
+
+        def compact_fn(_):
+            return hier_apply(cidx, cgrad)
+
+        def full_fn(_):
+            ci, cg = coalesce(ici_ids, ici_g, drop_sentinel=int(DROP_ROW))
+            return hier_apply(ci, cg)
+
+        return jax.lax.cond(over, full_fn, compact_fn, None)
+
+    specs = slot_specs(slots, axes)
     return shard_map(
         f, mesh,
-        in_specs=(P(AXIS, None), specs, P(AXIS, None),
-                  P(AXIS, None, None)),
-        out_specs=(P(AXIS, None), specs),
+        in_specs=(P(axes, None), specs, P(axes, None),
+                  P(axes, None, None)),
+        out_specs=(P(axes, None), specs),
     )(table, slots, idx, grad)

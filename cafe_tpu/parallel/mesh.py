@@ -36,7 +36,14 @@ def maybe_init_distributed(cfg) -> bool:
     return True
 
 
-def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, inner: int = 0) -> Mesh:
+    """Flat ("data",) mesh, or — when inner > 0 — a TWO-LEVEL
+    ("dcn", "ici") mesh of shape (n_devices // inner, inner): the inner
+    axis groups ICI-adjacent chips (jax.devices() orders by process, so
+    consecutive devices share a host/slice), the outer axis crosses DCN.
+    The explicit exchange combines/dedups over "ici" before anything
+    crosses "dcn" (exchange.sharded_fetch/apply; SURVEY.md §2.6 "DCN
+    only crossing")."""
     devs = jax.devices()
     if n_devices is not None:
         if n_devices > len(devs):
@@ -58,4 +65,10 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
                     f"execution the mesh must include every process's "
                     f"local devices (use the full {len(jax.devices())}"
                     f"-device mesh or launch fewer processes)")
+    if inner:
+        if len(devs) % inner:
+            raise ValueError(
+                f"mesh_inner {inner} does not divide {len(devs)} devices")
+        grid = np.asarray(devs).reshape(len(devs) // inner, inner)
+        return Mesh(grid, axis_names=("dcn", "ici"))
     return Mesh(np.asarray(devs), axis_names=("data",))

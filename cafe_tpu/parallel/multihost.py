@@ -20,11 +20,17 @@ from typing import Iterator, Optional
 import numpy as np
 
 
-def global_batches(mesh, batch_iter: Iterator, depth: int = 4) -> Iterator:
-    """Wrap a (dense, sparse, label, valid) iterator of GLOBAL numpy
-    batches into globally-sharded jax.Arrays, each process uploading only
-    its row slice. Uploads overlap the train loop via a small thread
-    pool (same motivation as data.loader.device_prefetch)."""
+def global_batches(mesh, batch_iter: Iterator, depth: int = 4,
+                   local: bool = False) -> Iterator:
+    """Wrap a (dense, sparse, label, valid) iterator into globally-sharded
+    jax.Arrays, each process uploading only its row slice. Uploads
+    overlap the train loop via a small thread pool (same motivation as
+    data.loader.device_prefetch).
+
+    local=False: the iterator yields GLOBAL batches (every process built
+    the full batch; its slice is cut here) — eval path / small runs.
+    local=True: the iterator already yields THIS process's rows
+    (data.process_batch_iterator) — per-process I/O, the pod-scale path."""
     import collections
     import itertools
     from concurrent.futures import ThreadPoolExecutor
@@ -34,17 +40,21 @@ def global_batches(mesh, batch_iter: Iterator, depth: int = 4) -> Iterator:
 
     nproc = jax.process_count()
     pid = jax.process_index()
-    sh2 = NamedSharding(mesh, P("data", None))
-    sh1 = NamedSharding(mesh, P("data"))
+    ax = tuple(mesh.axis_names)
+    sh2 = NamedSharding(mesh, P(ax, None))
+    sh1 = NamedSharding(mesh, P(ax))
 
     def put(batch):
         dense, sparse, label, valid = batch
-        rows = sparse.shape[0]
-        if rows % nproc:
-            raise ValueError(f"global batch {rows} must divide by "
-                             f"{nproc} processes")
-        lo = pid * (rows // nproc)
-        hi = lo + rows // nproc
+        if local:
+            lo, hi = 0, sparse.shape[0]
+        else:
+            rows = sparse.shape[0]
+            if rows % nproc:
+                raise ValueError(f"global batch {rows} must divide by "
+                                 f"{nproc} processes")
+            lo = pid * (rows // nproc)
+            hi = lo + rows // nproc
         mk = jax.make_array_from_process_local_data
         dn = None if dense is None else mk(sh2, np.ascontiguousarray(
             dense[lo:hi]))

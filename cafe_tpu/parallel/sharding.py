@@ -47,9 +47,10 @@ def _leaf_name(path) -> str:
 
 def state_shardings(state: Any, mesh: Mesh, shard_embeddings: bool) -> Any:
     """Pytree of NamedShardings matching `state` (a TrainState)."""
+    axes = tuple(mesh.axis_names)   # ("data",) or ("dcn", "ici")
     repl = NamedSharding(mesh, P())
-    row2d = NamedSharding(mesh, P("data", None))
-    row1d = NamedSharding(mesh, P("data"))
+    row2d = NamedSharding(mesh, P(axes, None))
+    row1d = NamedSharding(mesh, P(axes))
 
     n = int(mesh.devices.size)
 
@@ -92,7 +93,7 @@ def state_shardings(state: Any, mesh: Mesh, shard_embeddings: bool) -> Any:
 
 def batch_shardings(mesh: Mesh):
     """(dense, ids, labels, valid) shardings: batch-dim parallel."""
-    data = NamedSharding(mesh, P("data"))
+    data = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     repl = NamedSharding(mesh, P())
     return data, data, data, repl
 

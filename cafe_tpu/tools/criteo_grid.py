@@ -50,8 +50,12 @@ POINTS = [
 ]
 
 
-def gen_data(rows: int, zipf: float, seed: int):
-    """Zipf stream over the real vocabularies + id-driven labels."""
+def gen_data(rows: int, zipf: float, seed: int, dense_w: float = 0.6):
+    """Zipf stream over the real vocabularies; labels carry BOTH a
+    dense-feature signal (learnable by every method's towers — keeps the
+    full table strictly above any lossy embedding, round-2 verdict #9)
+    and an id signal (corrupted by hash collisions — the axis the
+    metric-vs-cr figures measure, plot_metric_cr.py:56-75)."""
     from cafe_tpu.data.datasets import CTRArrays
     from cafe_tpu.data.synthetic import _zipf_ids
 
@@ -66,15 +70,19 @@ def gen_data(rows: int, zipf: float, seed: int):
         id_logit = rng.normal(0.0, 1.0, size=v).astype(np.float32)
         logits += id_logit[ids]
     logits /= np.sqrt(len(counts))
-    p = 1.0 / (1.0 + np.exp(-logits))
-    label = (rng.random(rows) < p).astype(np.int32)
     dense = np.log1p(rng.gamma(2.0, 2.0, size=(rows, 13))).astype(
         np.float32)
+    w = rng.normal(0.0, 1.0, size=13).astype(np.float32)
+    z = (dense - dense.mean(0)) / (dense.std(0) + 1e-9)
+    dense_sig = (z @ w) / np.sqrt(13.0)
+    logits = dense_w * dense_sig + logits
+    p = 1.0 / (1.0 + np.exp(-logits))
+    label = (rng.random(rows) < p).astype(np.int32)
     sparse = np.stack(cols, axis=1)
     return CTRArrays(sparse, dense, label, counts)
 
 
-def run_config(cfg, train, test, batch: int):
+def run_config(cfg, train, test, batch: int, epochs: int = 1):
     import jax
     import jax.numpy as jnp
     from cafe_tpu.data import batch_iterator
@@ -84,14 +92,15 @@ def run_config(cfg, train, test, batch: int):
     t0 = time.time()
     hot_fracs, promos = [], 0.0
     n_steps = 0
-    for dense, sparse, label, valid in batch_iterator(train, batch,
-                                                      drop_last=True):
-        state, m = step(state, jnp.asarray(dense), jnp.asarray(sparse),
-                        jnp.asarray(label), valid)
-        n_steps += 1
-        if "cafe_hot_frac" in m and n_steps % 50 == 0:
-            hot_fracs.append(m["cafe_hot_frac"])
-            promos = m.get("cafe_promotions", 0.0)
+    for _ep in range(epochs):
+        for dense, sparse, label, valid in batch_iterator(train, batch,
+                                                          drop_last=True):
+            state, m = step(state, jnp.asarray(dense), jnp.asarray(sparse),
+                            jnp.asarray(label), valid)
+            n_steps += 1
+            if "cafe_hot_frac" in m and n_steps % 50 == 0:
+                hot_fracs.append(m["cafe_hot_frac"])
+                promos = m.get("cafe_promotions", 0.0)
     jax.block_until_ready(state.params)
     train_s = time.time() - t0
     metrics, _ = inference(cfg, ev, state, test)
@@ -196,6 +205,11 @@ def main(argv=None):
     p.add_argument("--zipf", type=float, default=1.1)
     p.add_argument("--batch", type=int, default=2048)
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--epochs", type=int, default=2,
+                   help="passes over the train split (2-3 lets the full "
+                        "table converge on rare ids; round-2 verdict #9)")
+    p.add_argument("--dense_w", type=float, default=0.6,
+                   help="weight of the dense-feature label signal")
     p.add_argument("--methods", nargs="+",
                    default=["full", "hash", "cafe"])
     p.add_argument("--crs", type=float, nargs="+", default=None,
@@ -218,7 +232,7 @@ def main(argv=None):
     print(f"generating {args.rows} rows over the 26 Criteo vocabularies "
           f"(zipf {args.zipf})...", flush=True)
     t0 = time.time()
-    data = gen_data(args.rows, args.zipf, args.seed)
+    data = gen_data(args.rows, args.zipf, args.seed, args.dense_w)
     cut = args.rows * 6 // 7
     from cafe_tpu.data.datasets import CTRArrays
     train = CTRArrays(data.sparse[:cut], data.dense[:cut],
@@ -269,14 +283,15 @@ def main(argv=None):
         print(f"--- {method} cr={cr} thr={cfg.cafe_sketch_threshold:.1f} "
               f"hash_rate={hr}", flush=True)
         try:
-            res = run_config(cfg, train, test, args.batch)
+            res = run_config(cfg, train, test, args.batch, args.epochs)
         except Exception as e:  # e.g. qr sizing below its operating floor
             print(f"SKIP {method} cr={cr}: {type(e).__name__}: {e}",
                   flush=True)
             skipped.append((method, cr, f"{type(e).__name__}: {e}"))
             continue
         rec = {"method": method, "cr": cr, "rows": args.rows,
-               "zipf": args.zipf,
+               "zipf": args.zipf, "epochs": args.epochs,
+               "dense_w": args.dense_w,
                "threshold": round(cfg.cafe_sketch_threshold, 2),
                "hash_rate": hr, **res}
         with open(out_path, "a") as f:

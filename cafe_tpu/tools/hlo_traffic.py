@@ -67,6 +67,50 @@ def collective_stats(hlo_text: str) -> List[Collective]:
     return out
 
 
+_GROUPS_LIST_RE = re.compile(r"replica_groups=\{((?:\{[^}]*\},?)+)\}")
+_GROUPS_IOTA_RE = re.compile(
+    r"replica_groups=\[(\d+),(\d+)\]<=\[([0-9,]+)\](?:T\(([0-9,]+)\))?")
+
+
+def collective_groups(line: str):
+    """Parse an HLO collective's replica_groups into a list of device-id
+    lists. Handles both the explicit `{{0,1},{2,3}}` form and the iota
+    `[G,S]<=[dims]T(perm)` form. Returns None if absent/unparseable."""
+    m = _GROUPS_LIST_RE.search(line)
+    if m:
+        return [[int(x) for x in g.split(",") if x.strip()]
+                for g in re.findall(r"\{([^}]*)\}", m.group(1))]
+    m = _GROUPS_IOTA_RE.search(line)
+    if m:
+        import numpy as _np
+        g, s = int(m.group(1)), int(m.group(2))
+        dims = [int(x) for x in m.group(3).split(",")]
+        arr = _np.arange(int(_np.prod(dims))).reshape(dims)
+        if m.group(4):
+            perm = [int(x) for x in m.group(4).split(",")]
+            arr = arr.transpose(perm)
+        return arr.reshape(g, s).tolist()
+    return None
+
+
+def classify_axis(line: str, n_inner: int):
+    """For a two-level (dcn, ici) mesh with `n_inner` chips per inner
+    group (flat device id = dcn*n_inner + ici): 'ici' if every replica
+    group stays within one inner block, 'dcn' if every group spans
+    blocks at a fixed inner position, 'global'/'unknown' otherwise."""
+    groups = collective_groups(line)
+    if not groups:
+        return "unknown"
+    def block(d):
+        return d // n_inner
+    if all(len({block(d) for d in g}) == 1 for g in groups):
+        return "ici"
+    if all(len({d % n_inner for d in g}) == 1
+           and len({block(d) for d in g}) == len(g) for g in groups):
+        return "dcn"
+    return "global"
+
+
 def compiled_text(jitted, *args) -> str:
     return jitted.lower(*args).compile().as_text()
 

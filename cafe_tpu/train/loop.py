@@ -75,7 +75,7 @@ def build_all(cfg: Config, train_data=None, mesh=None):
     embed = build_embedding_layer(cfg, counts, cfg.embedding_dim, train_data)
     if mesh is not None and cfg.shard_embeddings \
             and cfg.shard_exchange == "explicit":
-        active = embed.set_mesh(mesh)
+        active = embed.set_mesh(mesh, cfg.shard_unique_frac)
         msg = active if active else "no part (all small/unsupported -> auto)"
         print(f"explicit SPMD exchange on: {msg}", flush=True)
     state = init_state(model, embed, cfg.numpy_rand_seed, cfg.optimizer)
@@ -236,7 +236,7 @@ def run(cfg: Config) -> Dict:
         # Multi-process runs ALWAYS need the mesh (per-process batch
         # feeding shards over it), even DP-only ones.
         from ..parallel import make_mesh
-        mesh = make_mesh(cfg.mesh_shape)
+        mesh = make_mesh(cfg.mesh_shape, cfg.mesh_inner)
         n = mesh.devices.size
         for nm, bs in (("mini_batch_size", cfg.mini_batch_size),
                        ("test_mini_batch_size", cfg.test_mini_batch_size)):
@@ -336,12 +336,20 @@ def run(cfg: Config) -> Dict:
         # no replayed sub-batches when steps_per_dispatch > 1 and no
         # dependence on the saving run's dispatch width
         base_it = skip_batch if ep == skip_epoch else 0
-        raw_batches = batch_iterator(
-            train_data, fetch, start_row=base_it * cfg.mini_batch_size)
         if jax.process_count() > 1:
+            # per-process input slicing: each host reads ONLY its row
+            # range of every batch from the memmap (1/np of the I/O),
+            # never materializing the global batch
+            from ..data.datasets import process_batch_iterator
             from ..parallel.multihost import global_batches
-            batches = global_batches(mesh, raw_batches)
+            raw_batches = process_batch_iterator(
+                train_data, fetch, jax.process_index(),
+                jax.process_count(),
+                start_row=base_it * cfg.mini_batch_size)
+            batches = global_batches(mesh, raw_batches, local=True)
         else:
+            raw_batches = batch_iterator(
+                train_data, fetch, start_row=base_it * cfg.mini_batch_size)
             batches = device_prefetch(raw_batches)
         for i, (dense, sparse, label, valid) in enumerate(batches):
             if cfg.enable_profiling and i == 10:

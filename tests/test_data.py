@@ -165,3 +165,26 @@ def test_preprocess_cli_rejects_multi_input_for_single_file_sets(tmp_path):
     with pytest.raises(SystemExit):
         pp_main(["--dataset", "criteo", "--input", str(a), str(a),
                  "--output", str(tmp_path / "o")])
+
+
+def test_process_batch_iterator_matches_global_slices():
+    """process_batch_iterator (per-process memmap reads) must reproduce
+    batch_iterator's global batches sliced by process — including the
+    padded tail batch, whose padding repeats the GLOBAL batch's first
+    row."""
+    from cafe_tpu.data import make_synthetic_arrays
+    from cafe_tpu.data.datasets import batch_iterator, process_batch_iterator
+    data = make_synthetic_arrays(rows=1000, fields=3, vocab=500,
+                                 dense=5, seed=7)
+    B, nproc = 128, 4
+    globals_ = list(batch_iterator(data, B))
+    for pid in range(nproc):
+        locals_ = list(process_batch_iterator(data, B, pid, nproc))
+        assert len(locals_) == len(globals_)
+        per = B // nproc
+        for (gd, gs, gl, gv), (ld, ls, ll, lv) in zip(globals_, locals_):
+            assert lv == gv
+            lo, hi = pid * per, (pid + 1) * per
+            np.testing.assert_array_equal(ls, gs[lo:hi])
+            np.testing.assert_array_equal(ll, gl[lo:hi])
+            np.testing.assert_array_equal(ld, gd[lo:hi])

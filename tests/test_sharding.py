@@ -266,6 +266,144 @@ class TestExplicitProductionPath:
             np.asarray(jax.device_get(s2.embed["part0"]["table"])),
             atol=3e-5)
 
+    def test_unique_compact_matches_full(self):
+        """Capacity-bounded unique-compact exchange (shard_unique_frac):
+        identical training numbers to the full-size exchange on a skewed
+        stream — dedup+compact is semantics-free, capacity only bounds
+        the wire buffers."""
+        from cafe_tpu.train.loop import get_dataset
+        # per-device lanes m = 512*4/8 = 256; frac 0.5 -> C = 128 < m
+        cfg_a = self._cfg(method="hash", compress_rate=0.2,
+                          mini_batch_size=512)
+        cfg_b = self._cfg(method="hash", compress_rate=0.2,
+                          mini_batch_size=512, shard_unique_frac=0.5)
+        train = get_dataset(cfg_a, "train")
+        _, full_step, s_a, _, _ = self._build_sharded(cfg_a, train)
+        embed_b, compact_step, s_b, _, _ = self._build_sharded(cfg_b, train)
+        assert any(p.unique_frac > 0 for p in embed_b.parts)
+        for dense, sparse, label, valid in list(
+                batch_iterator(train, 512, drop_last=True))[:5]:
+            args = (jnp.asarray(dense), jnp.asarray(sparse),
+                    jnp.asarray(label), jnp.asarray(valid))
+            s_a, m_a = full_step(s_a, *args)
+            s_b, m_b = compact_step(s_b, *args)
+            assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]),
+                                                       rel=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(s_a.embed["part0"]["table"])),
+            np.asarray(jax.device_get(s_b.embed["part0"]["table"])),
+            atol=3e-6)
+
+    def test_unique_compact_overflow_fallback(self):
+        """A capacity far below the distinct-id count must trigger the
+        full-size fallback branch — same numbers, never dropped rows.
+        (m = 256 lanes/device; a near-uniform batch over a 2^20 vocab
+        has ~250 distinct rows, far above C = 64.)"""
+        from cafe_tpu.train.loop import get_dataset
+        cfg_a = self._cfg(method="hash", compress_rate=0.2,
+                          mini_batch_size=512, vocab=2 ** 20)
+        cfg_b = self._cfg(method="hash", compress_rate=0.2,
+                          mini_batch_size=512, vocab=2 ** 20,
+                          shard_unique_frac=0.25)
+        train = get_dataset(cfg_a, "train")
+        _, full_step, s_a, _, _ = self._build_sharded(cfg_a, train)
+        _, compact_step, s_b, _, _ = self._build_sharded(cfg_b, train)
+        for dense, sparse, label, valid in list(
+                batch_iterator(train, 512, drop_last=True))[:3]:
+            args = (jnp.asarray(dense), jnp.asarray(sparse),
+                    jnp.asarray(label), jnp.asarray(valid))
+            s_a, m_a = full_step(s_a, *args)
+            s_b, m_b = compact_step(s_b, *args)
+            assert float(m_a["loss"]) == pytest.approx(float(m_b["loss"]),
+                                                       rel=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(s_a.embed["part0"]["table"])),
+            np.asarray(jax.device_get(s_b.embed["part0"]["table"])),
+            atol=3e-6)
+
+    def test_unique_compact_shrinks_wire_buffers(self):
+        """HLO A/B: with the compact exchange on, the LARGEST row-moving
+        collective shrinks by >= 2x vs the full-size exchange (the
+        fallback branch still exists in the HLO — the win is the compact
+        branch the skewed steps execute)."""
+        from cafe_tpu.tools.hlo_traffic import collective_stats
+        from cafe_tpu.train.loop import get_dataset
+        # m = 256 lanes/device; frac 0.25 -> C = 64: the compact
+        # branch's grad AG is [8*64, 16] f32 = 128 KiB vs the full
+        # exchange's [8*256, 16] = 512 KiB
+        cfg_a = self._cfg(method="hash", compress_rate=0.2,
+                          mini_batch_size=512)
+        cfg_b = self._cfg(method="hash", compress_rate=0.2,
+                          mini_batch_size=512, shard_unique_frac=0.25)
+        train = get_dataset(cfg_a, "train")
+        dense, sparse, label, valid = next(iter(
+            batch_iterator(train, 512, drop_last=True)))
+
+        def stats_of(cfg):
+            _, step, st, _, _ = self._build_sharded(cfg, train)
+            args = (st, jnp.asarray(dense), jnp.asarray(sparse),
+                    jnp.asarray(label), jnp.asarray(valid))
+            txt = step.lower(*args).compile().as_text()
+            return collective_stats(txt)
+
+        stats_a = stats_of(cfg_a)
+        stats_b = stats_of(cfg_b)
+        C, D, n = 64, 16, 8
+        # the full exchange's biggest op (the grad/row AG at 2048 lanes)
+        big_a = max(c.result_bytes for c in stats_a)
+        assert big_a >= n * 256 * D * 4
+        # the compact branch's C-lane ops must exist in b's HLO:
+        # ids AG [n*C] i32 and a row/grad exchange at n*C*D*4
+        sizes_b = {c.result_bytes for c in stats_b}
+        assert n * C * 4 in sizes_b, f"no C-lane id AG: {sorted(sizes_b)}"
+        assert any(s == n * C * D * 4 or s == C * D * 4 for s in sizes_b), \
+            f"no C-lane row exchange: {sorted(sizes_b)}"
+        # and those are >= 4x smaller than the full path's biggest op
+        assert n * C * D * 4 * 4 <= big_a
+
+    def test_ada_explicit_runs_and_invariants(self):
+        """AdaEmbed under the explicit exchange: shard-local sampled
+        check/rebuild (triggered at step 1 like the reference), global
+        slot uniqueness across the per-shard ranges, slot 0 never
+        assigned, loss finite."""
+        from cafe_tpu.embeddings.ada import AdaPart
+        # ada's budget formula (init_embed.py:83) needs dim*cr > 2 words
+        # of dic/grad_norm overhead; dim 64 @ cr 0.05 -> hotn = N*0.0188
+        cfg = self._cfg(method="ada", compress_rate=0.05, vocab=80000,
+                        embedding_dim=64)
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        embed, sharded, st, _, _ = self._build_sharded(cfg, train)
+        ada = [p for p in embed.parts if isinstance(p, AdaPart)]
+        assert ada and all(p.mesh is not None for p in ada), \
+            "Ada part did not activate the explicit exchange"
+        part = ada[0]
+        for dense, sparse, label, valid in list(
+                batch_iterator(train, 128, drop_last=True))[:12]:
+            st, m = sharded(st, jnp.asarray(dense), jnp.asarray(sparse),
+                            jnp.asarray(label), jnp.asarray(valid))
+        assert np.isfinite(float(m["loss"]))
+        assert int(m["ada_admitted"]) > 0
+        i = next(i for i, p in enumerate(embed.parts) if p is part)
+        ps = jax.device_get(st.embed[f"part{i}"])
+        dic = np.asarray(ps["dic"])
+        live = dic[dic != 0]
+        assert len(np.unique(live)) == len(live), \
+            "two features share a hot slot"
+        n = part.n_shards
+        W_l = ps["weight"].shape[0] // n
+        L = dic.shape[0] // n
+        assert (live >= 1).all()
+        # every live slot was assigned by the cyclic owner of its id:
+        # store lane k belongs to shard k // L, whose slot range is
+        # [shard*W_l, (shard+1)*W_l)
+        shard_of_lane = np.arange(dic.shape[0]) // L
+        owners = shard_of_lane[dic != 0]
+        assert ((live // W_l) == owners).all(), \
+            "a slot was assigned outside its owner's range"
+        # weight row 0 pinned zero (not-admitted sentinel)
+        assert np.abs(ps["weight"][0]).max() == 0.0
+
     def test_cafe_sharded_sketch_invariants(self):
         """After training: every shard's allocated + free local slots
         partition [1, S_l), and globally no hot slot serves two ids."""
@@ -341,18 +479,20 @@ class TestExplicitProductionPath:
         assert auc_sharded > auc_single - 0.01, \
             f"sharded {auc_sharded:.4f} vs single {auc_single:.4f}"
 
-    @pytest.mark.parametrize("method,cr,vocab", [
-        (None, 1.0, 262144), ("hash", 0.2, 2 ** 20),
-        ("qr", 0.05, 2 ** 21), ("off", 0.05, 2 ** 22),
+    @pytest.mark.parametrize("method,cr,vocab,dim", [
+        (None, 1.0, 262144, 16), ("hash", 0.2, 2 ** 20, 16),
+        ("qr", 0.05, 2 ** 21, 16), ("off", 0.05, 2 ** 22, 16),
+        ("ada", 0.05, 2 ** 21, 64),
     ])
-    def test_hlo_no_table_sized_collectives(self, method, cr, vocab):
+    def test_hlo_no_table_sized_collectives(self, method, cr, vocab, dim):
         """Compile the sharded step and audit every collective: nothing
         close to table size may move (the auto-partitioner's legal
         fallback all-gathers the table; the explicit path must not) —
         for EVERY method with an explicit exchange. CAFE/Ada have their
         own audits (migration/rebuild traffic classes)."""
         from cafe_tpu.tools.hlo_traffic import collective_stats
-        cfg = self._cfg(method=method, compress_rate=cr, vocab=vocab)
+        cfg = self._cfg(method=method, compress_rate=cr, vocab=vocab,
+                        embedding_dim=dim)
         from cafe_tpu.train.loop import get_dataset
         train = get_dataset(cfg, "train")
         embed, sharded, st, _, _ = self._build_sharded(cfg, train)
@@ -368,13 +508,13 @@ class TestExplicitProductionPath:
         part0 = st.embed["part0"]
         big_table = max(v.shape[0] for k, v in part0.items()
                         if getattr(v, "ndim", 0) == 2)
-        table_bytes = 4 * 16 * big_table
+        table_bytes = 4 * dim * big_table
         # legitimate traffic classes: the O(batch) embedding exchange,
         # the O(params) DP dense-tower grad all-reduce, and (qr only) the
         # replicated O(collisions) remainder-table grad all-reduce
         m_ids = 128 * 4
         dense_bytes = 4 * sum(l.size for l in jax.tree.leaves(st.params))
-        bound = max(8 * m_ids * (16 + 4) * 4, 2 * dense_bytes)
+        bound = max(8 * m_ids * (dim + 4) * 4, 2 * dense_bytes)
         if method == "qr":
             r_bytes = 4 * np.prod(part0["r"].shape)
             bound = max(bound, 2 * int(r_bytes))
@@ -391,7 +531,7 @@ class TestExplicitProductionPath:
         # quadratic/table-sized regression would blow through this even
         # if each individual op snuck under the per-op bound
         total = sum(c.result_bytes for c in stats)
-        model_bytes = m_ids * 4 + 2 * m_ids * 16 * 4   # ids + fwd/bwd rows
+        model_bytes = m_ids * 4 + 2 * m_ids * dim * 4  # ids + fwd/bwd rows
         slack = 8 if method in (None, "hash") else 16
         extra = 0 if method != "qr" else int(
             4 * np.prod(part0["r"].shape))
