@@ -110,6 +110,16 @@ def get_dataset(cfg: Config, phase: str):
     return load_dataset(cfg.dataset, cfg.data_path, phase, cfg.max_ind_range)
 
 
+_EVAL_CACHE_BYTES = 256 << 20
+
+
+def _eval_cacheable(test_data) -> bool:
+    row_bytes = 4 * (test_data.sparse.shape[1]
+                     + (0 if test_data.dense is None
+                        else test_data.dense.shape[1]))
+    return len(test_data) * max(row_bytes, 1) <= _EVAL_CACHE_BYTES
+
+
 def inference(cfg: Config, eval_step, state: TrainState, test_data,
               throughput: bool = False, mesh=None
               ) -> Tuple[Dict[str, float], float]:
@@ -129,15 +139,22 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
     # estimated BYTES (dense f32 + sparse i32 per row), not rows: at
     # Criteo shapes 2M rows would be ~300 MB of device memory on top of
     # model state.
-    _CACHE_BYTES = 256 << 20
-    row_bytes = 4 * (test_data.sparse.shape[1]
-                     + (0 if test_data.dense is None
-                        else test_data.dense.shape[1]))
-    cacheable = len(test_data) * max(row_bytes, 1) <= _CACHE_BYTES
+    cacheable = _eval_cacheable(test_data)
+
+    local_feed = multiproc and not throughput
 
     def _stream():
         if not throughput:
-            yield from batch_iterator(test_data, cfg.test_mini_batch_size)
+            if multiproc:
+                # per-process slicing, like the train feed: each host
+                # reads only its row range of every eval batch
+                from ..data.datasets import process_batch_iterator
+                yield from process_batch_iterator(
+                    test_data, cfg.test_mini_batch_size,
+                    jax.process_index(), jax.process_count())
+            else:
+                yield from batch_iterator(test_data,
+                                          cfg.test_mini_batch_size)
             return
         # latency protocol (main.py:51-81): 10 warmup + 1014 timed batches;
         # cycle small test sets so the protocol works at any scale
@@ -163,7 +180,7 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
     stream = _stream()
     if multiproc:
         from ..parallel.multihost import gather_to_host, global_batches
-        stream = global_batches(mesh, stream)
+        stream = global_batches(mesh, stream, local=local_feed)
 
     # honest clock for throughput mode: eval dispatches don't chain, so
     # accumulate a per-batch checksum on device and VALUE-FETCH it at the
@@ -403,7 +420,14 @@ def run(cfg: Config) -> Dict:
                 if cfg.test_throughput:
                     _, test_ms = inference(cfg, eval_step, state, test_data,
                                            throughput=True, mesh=mesh)
-                    lat = {"train": train_ms, "test": test_ms}
+                    # label the protocol deviation (round-2 verdict): when
+                    # the test set is small enough to cache on-device, the
+                    # timed loop skips the per-batch H2D the reference's
+                    # protocol includes (main.py:51-81) — serving-path
+                    # latency, not transfer-inclusive latency
+                    lat = {"train": train_ms, "test": test_ms,
+                           "test_batches_device_cached":
+                               _eval_cacheable(test_data)}
                     out = osp.join(cfg.tensor_board_filename, "latency.json")
                     with open(out, "w") as f:
                         json.dump(lat, f)

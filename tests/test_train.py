@@ -123,6 +123,45 @@ class TestLearning:
         assert float(jnp.abs(part["table_m"]).max()) > 0.0
 
 
+class TestAdamCheckpoint:
+    def test_roundtrip_preserves_moments(self, tmp_path, skewed_data):
+        """Adam slots (m/v/t on tables, (m,v,t) tree on towers) survive
+        an orbax save/restore; predictions and the next step match."""
+        train, test = _split(skewed_data)
+        cfg = Config(dataset="synthetic", compress_method="cafe",
+                     compress_rate=0.02, embedding_dim=8,
+                     cafe_sketch_threshold=10.0, optimizer="adam",
+                     learning_rate=0.003, test_mini_batch_size=4096)
+        model, embed, state, train_step, eval_step = build_all(cfg, train)
+        batches = list(batch_iterator(train, 256, drop_last=True))
+        for i, (dense, sparse, label, valid) in enumerate(batches):
+            state, _ = train_step(state, jnp.asarray(dense),
+                                  jnp.asarray(sparse), jnp.asarray(label),
+                                  valid)
+            if i == 10:
+                break
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, state, {"test_acc": 0.5, "epoch": 0,
+                                      "iter": 11})
+        _, _, fresh, step2, eval2 = build_all(cfg, train)
+        restored, _ = load_checkpoint(path, fresh)
+        assert int(restored.embed["part0"]["table_t"]) == 11
+        np.testing.assert_array_equal(
+            np.asarray(state.embed["part0"]["table_m"]),
+            np.asarray(restored.embed["part0"]["table_m"]))
+        # one more step from each must match exactly (moments intact)
+        dense, sparse, label, valid = batches[11]
+        s1, m1 = train_step(state, jnp.asarray(dense), jnp.asarray(sparse),
+                            jnp.asarray(label), valid)
+        s2, m2 = step2(restored, jnp.asarray(dense), jnp.asarray(sparse),
+                       jnp.asarray(label), valid)
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                  abs=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(s1.embed["part0"]["table"]),
+            np.asarray(s2.embed["part0"]["table"]), atol=1e-7)
+
+
 class TestRowsAdamMath:
     def test_matches_dense_adam_on_touched_rows(self):
         """sparse_adam == dense Adam restricted to touched rows (with
