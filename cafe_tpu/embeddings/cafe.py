@@ -225,7 +225,7 @@ class CafePart(Part):
         import jax
         from jax.sharding import PartitionSpec as P
         from ..parallel.embedding_parallel import shard_map
-        from ..parallel.exchange import _owner_rows, mesh_axes
+        from ..parallel.exchange import mesh_axes
         from ..sketch.hotsketch import INVALID_ID
         from ..sketch.sharded import (shard_local_view, shard_of,
                                       sketch_partition_specs)
@@ -238,7 +238,14 @@ class CafePart(Part):
         sk = state["sketch"]
         sk_specs = sketch_partition_specs(sk, AXIS)
 
-        def f(tbl, sk_g, oids_l):
+        def route(sk_g, oids_l):
+            # ROUTING ONLY (id-sized traffic): each sketch shard answers
+            # hot-routing for the ids it owns; the int32 psum publishes
+            # the global row map. The D-wide ROW VALUES move separately
+            # through exchange.sharded_fetch, which is hierarchical on a
+            # two-level mesh and unique-compacting when
+            # shard_unique_frac > 0 — CAFE's heavy leg rides the same
+            # optimized exchange as every other method.
             bl, fl = oids_l.shape
             m = bl * fl
             me = jax.lax.axis_index(AXIS)
@@ -252,19 +259,18 @@ class CafePart(Part):
             field = jnp.arange(all_oids.shape[0]) % fl
             hrow_all = (all_oids % hsz[field]) + hoff[field] + self.hash_base
             row_all = jnp.where(slot_all > 0, slot_all, hrow_all)
-            rows = _owner_rows(tbl, row_all, AXIS)
-            out = jax.lax.psum_scatter(rows, AXIS, scatter_dimension=0,
-                                       tiled=True)
             row_me = jax.lax.dynamic_slice(row_all, (me * m,), (m,))
             hot_me = jax.lax.dynamic_slice(slot_all, (me * m,), (m,)) > 0
-            return (out.reshape(bl, fl, -1), row_me.reshape(bl, fl),
-                    hot_me.reshape(bl, fl))
+            return row_me.reshape(bl, fl), hot_me.reshape(bl, fl)
 
-        raw, row, is_hot = shard_map(
-            f, self.mesh,
-            in_specs=(P(AXIS, None), sk_specs, P(AXIS, None)),
-            out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS, None)),
-        )(state["table"], sk, oids)
+        row, is_hot = shard_map(
+            route, self.mesh,
+            in_specs=(sk_specs, P(AXIS, None)),
+            out_specs=(P(AXIS, None), P(AXIS, None)),
+        )(sk, oids)
+        from ..parallel.exchange import sharded_fetch
+        raw = sharded_fetch(self.mesh, state["table"], row,
+                            self.unique_frac)
         return raw, (oids, row, is_hot)
 
     def apply_grads(self, state: Dict, ids: jnp.ndarray, g_raw: jnp.ndarray,
@@ -354,10 +360,10 @@ class CafePart(Part):
         inserts only the ids it owns, with its OWN free list — promotion
         decisions never serialize through a global stack), lossless
         overflow-revert promotion capping, a bounded migration exchange
-        (n*mig_lanes rows), then dedup + owner-compute sparse update."""
+        (n*mig_lanes rows), then dedup + owner-compute sparse update via
+        exchange.sharded_apply (hierarchical + unique-compacting)."""
         import jax
         from jax.sharding import PartitionSpec as P
-        from ..ops.sparse import apply_rows, coalesce
         from ..parallel.embedding_parallel import shard_map
         from ..parallel.exchange import (DROP_ROW, _local_idx,
                                          _owner_rows, mesh_axes,
@@ -390,7 +396,12 @@ class CafePart(Part):
         slots_in = self._slots_of(state, "table")
         sl_specs = slot_specs(slots_in, AXIS)
 
-        def f(tbl, sl, sk_g, oids_l, row_l, g_l, sc_l):
+        def f(tbl, sl, sk_g, oids_l, sc_l):
+            # SKETCH + MIGRATION ONLY: id/score traffic (4B lanes) plus
+            # the bounded n*p_cap*D migration exchange. The batch's
+            # D-wide row updates ride exchange.sharded_apply afterwards
+            # — hierarchical on a two-level mesh, unique-compacting when
+            # shard_unique_frac > 0.
             bl, fl = oids_l.shape
             m = bl * fl
             me = jax.lax.axis_index(AXIS)
@@ -439,25 +450,23 @@ class CafePart(Part):
                       if getattr(v, "ndim", 0) == 2 else v)
                   for k, v in sl.items()}
 
-            # ---- dedup + owner-compute sparse update ------------------
-            flat_row, g2 = coalesce(row_l.reshape(m),
-                                    g_l.reshape(m, -1),
-                                    drop_sentinel=int(DROP_ROW))
-            all_row = jax.lax.all_gather(flat_row, AXIS, tiled=True)
-            all_g = jax.lax.all_gather(g2, AXIS, tiled=True)
-            loc = _local_idx(rows_l, all_row, AXIS)
-            tbl, sl = apply_rows(tbl, sl, loc, all_g, lr, self.optimizer)
-
             n_promo = jax.lax.psum(keep.sum(dtype=jnp.int32), AXIS)
             return tbl, sl, shard_global_view(st), n_promo
 
-        table, slots_out, new_sk, n_promo = shard_map(
+        table, slots_mig, new_sk, n_promo = shard_map(
             f, self.mesh,
             in_specs=(P(AXIS, None), sl_specs, sk_specs,
-                      P(AXIS, None), P(AXIS, None),
-                      P(AXIS, None, None), P(AXIS, None)),
+                      P(AXIS, None), P(AXIS, None)),
             out_specs=(P(AXIS, None), sl_specs, sk_specs, P()),
-        )(state["table"], slots_in, sk, oids, row, g_raw, scores)
+        )(state["table"], slots_in, sk, oids, scores)
+
+        # ---- row updates: migration happens BEFORE the optimizer touch
+        # (reference insert_grad-then-step order, main.py:376-377);
+        # sharded_apply dedups per device and is hierarchical/compacting
+        from ..parallel.exchange import sharded_apply
+        table, slots_out = sharded_apply(
+            self.mesh, table, slots_mig, row, g_raw, lr, self.optimizer,
+            self.unique_frac)
 
         out = self._put_slots({**state, "table": table, "sketch": new_sk},
                               "table", slots_out)

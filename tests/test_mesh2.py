@@ -135,6 +135,27 @@ def test_two_level_outer_traffic_leq_inner():
         f"{by_axis['dcn']}")
 
 
+def test_two_level_cafe_hierarchical_compact_runs():
+    """CAFE on the 2x4 mesh with the unique-compact exchange: the row
+    fetch/update legs ride the hierarchical compacting exchange while
+    sketch routing/migration stay in their own bounded shard_map; loss
+    finite, promotions happen, hot routing sane."""
+    cfg = _cfg(method="cafe", compress_rate=0.05, shard_unique_frac=0.5,
+               mini_batch_size=512)
+    train = get_dataset(cfg, "train")
+    embed, sharded, st, _, _ = _build_2level(cfg, train)
+    assert any(p.unique_frac > 0 for p in embed.parts)
+    saw_promo = 0
+    for dense, sparse, label, valid in list(
+            batch_iterator(train, 512, drop_last=True))[:10]:
+        st, m = sharded(st, jnp.asarray(dense), jnp.asarray(sparse),
+                        jnp.asarray(label), jnp.asarray(valid))
+        saw_promo += int(m["cafe_promotions"])
+    assert np.isfinite(float(m["loss"]))
+    assert saw_promo > 0
+    assert 0.0 <= float(m["cafe_hot_frac"]) <= 1.0
+
+
 def test_two_level_qr_off_ada_run():
     """The remaining explicit-exchange methods execute on the 2-level
     mesh (flat tuple-axis semantics) with finite losses."""
