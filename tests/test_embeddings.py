@@ -361,3 +361,51 @@ class TestAdaRebuild:
             state = rebuild(state)
             self._assert_unique_slots(state["dic"], part.hotn)
             assert int((np.asarray(state["dic"]) != 0).sum()) == part.hotn
+
+
+class TestUniqueCompactOps:
+    """Oracle tests for the capacity-bounded dedup primitives
+    (ops/sparse.unique_compact, coalesce_compact) behind the
+    wire-shrinking exchange."""
+
+    def test_unique_compact_roundtrip(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from cafe_tpu.ops.sparse import unique_compact
+        rng = np.random.default_rng(0)
+        idx = rng.integers(0, 40, size=128).astype(np.int32)
+        C = 64
+        uids, inv, nu = unique_compact(jnp.asarray(idx), C, 2**30)
+        uids, inv, nu = np.asarray(uids), np.asarray(inv), int(nu)
+        expect = np.unique(idx)
+        assert nu == len(expect)
+        np.testing.assert_array_equal(uids[:nu], expect)
+        assert (uids[nu:] == 2**30).all()
+        # inv maps every lane back to its value
+        np.testing.assert_array_equal(uids[inv], idx)
+
+    def test_coalesce_compact_sums_duplicates(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from cafe_tpu.ops.sparse import coalesce_compact
+        rng = np.random.default_rng(1)
+        idx = rng.integers(0, 30, size=96).astype(np.int32)
+        grad = rng.normal(size=(96, 4)).astype(np.float32)
+        C = 48
+        cidx, cgrad, nu = coalesce_compact(jnp.asarray(idx),
+                                           jnp.asarray(grad), C, 2**30)
+        cidx, cgrad = np.asarray(cidx), np.asarray(cgrad)
+        expect = np.unique(idx)
+        assert int(nu) == len(expect)
+        for k, v in enumerate(expect):
+            np.testing.assert_allclose(cgrad[k], grad[idx == v].sum(0),
+                                       atol=1e-5)
+            assert cidx[k] == v
+
+    def test_overflow_reports_true_count(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from cafe_tpu.ops.sparse import unique_compact
+        idx = jnp.asarray(np.arange(100, dtype=np.int32))
+        uids, inv, nu = unique_compact(idx, 32, 2**30)
+        assert int(nu) == 100  # callers detect overflow from this
