@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-3 honest-clock re-measurement sequence (runs unattended once the
+# TPU tunnel is reachable). Run from the repo root WITHOUT PYTHONPATH.
+#
+#   bash tools/remeasure_tpu.sh [outdir]
+#
+# Order matters: the clock probe validates the fence FIRST; everything
+# after it is only meaningful if the probe reads <= the chip's bf16 peak.
+set -u
+OUT=${1:-docs/r3_measurements}
+mkdir -p "$OUT"
+log() { echo "[$(date +%H:%M:%S)] $*" | tee -a "$OUT/run.log"; }
+
+log "1/6 clock probe (known-FLOPs matmul chain; must read <= ~197 TFLOP/s)"
+timeout 1200 python tools/clock_probe.py 2>&1 | tee "$OUT/clock_probe.txt"
+
+log "2/6 bench.py (value-fetch fence + MFU guard)"
+timeout 1800 python bench.py 2>&1 | tee "$OUT/bench.txt"
+
+log "3/6 step breakdown (stage budget, honest fence)"
+timeout 1800 python tools/step_breakdown.py 2>&1 | tee "$OUT/step_breakdown.txt"
+
+log "4/6 cafe-vs-hash interleaved A/B (dim 16 + dim 128)"
+timeout 2400 python tools/sweep_cafe_vs_hash.py 2>&1 | tee "$OUT/cafe_vs_hash.txt"
+
+log "5/6 roofline fractions"
+timeout 1800 python -m cafe_tpu.tools.roofline 2>&1 | tee "$OUT/roofline.txt"
+
+log "6/6 Criteo-scale grid (real vocabularies, gap-to-ideal label model)"
+timeout 14000 python -m cafe_tpu.tools.criteo_grid \
+    --rows 4194304 --epochs 2 \
+    --methods full hash cafe off \
+    --out docs/criteo_grid_r3.jsonl 2>&1 | tee "$OUT/grid.txt"
+
+log "done — artifacts in $OUT"
