@@ -188,3 +188,30 @@ def test_process_batch_iterator_matches_global_slices():
             np.testing.assert_array_equal(ls, gs[lo:hi])
             np.testing.assert_array_equal(ll, gl[lo:hi])
             np.testing.assert_array_equal(ld, gd[lo:hi])
+
+
+def test_process_batch_iterator_with_index_and_mod_range():
+    """The per-process iterator must honor the dataset's OWN access path:
+    index permutation splits (kdd12) and --max_ind_range hashing."""
+    from cafe_tpu.data import make_synthetic_arrays
+    from cafe_tpu.data.datasets import (CTRArrays, batch_iterator,
+                                        process_batch_iterator)
+    base = make_synthetic_arrays(rows=600, fields=3, vocab=700, dense=4,
+                                 seed=11)
+    rng = np.random.default_rng(3)
+    perm = rng.permutation(600)
+    data = CTRArrays(base.sparse, base.dense, base.label, base.counts,
+                     index=perm, mod_range=127)
+    B, nproc = 64, 2
+    globals_ = list(batch_iterator(data, B))
+    for pid in range(nproc):
+        locals_ = list(process_batch_iterator(data, B, pid, nproc))
+        per = B // nproc
+        assert len(locals_) == len(globals_)
+        for (gd, gs, gl, gv), (ld, ls, ll, lv) in zip(globals_, locals_):
+            assert lv == gv
+            lo, hi = pid * per, (pid + 1) * per
+            np.testing.assert_array_equal(ls, gs[lo:hi])
+            np.testing.assert_array_equal(ll, gl[lo:hi])
+            np.testing.assert_array_equal(ld, gd[lo:hi])
+            assert ls.max() < 127

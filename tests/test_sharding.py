@@ -240,6 +240,34 @@ class TestExplicitProductionPath:
                 np.asarray(jax.device_get(s2.embed["part0"][key])),
                 atol=3e-5)
 
+    @pytest.mark.parametrize("operation", ["mult", "concat"])
+    def test_qr_composition_ops_explicit_match(self, operation):
+        """The legacy QR composition ops under the explicit exchange:
+        mult reuses the forward's carried factors (one q exchange),
+        concat splits D/2 halves."""
+        cfg = self._cfg(method="qr", compress_rate=0.05,
+                        qr_operation=operation)
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        model, embed1, s1, step1, _ = build_all(cfg, train)
+        embed2, sharded, s2, _, _ = self._build_sharded(cfg, train)
+        from cafe_tpu.embeddings.base import QRPart
+        assert any(isinstance(p, QRPart) and p.mesh is not None
+                   for p in embed2.parts)
+        for dense, sparse, label, valid in list(
+                batch_iterator(train, 128, drop_last=True))[:4]:
+            args = (jnp.asarray(dense), jnp.asarray(sparse),
+                    jnp.asarray(label), jnp.asarray(valid))
+            s1, m1 = step1(s1, *args)
+            s2, m2 = sharded(s2, *args)
+            assert float(m1["loss"]) == pytest.approx(float(m2["loss"]),
+                                                      rel=3e-4)
+        for key in ("q", "r"):
+            np.testing.assert_allclose(
+                np.asarray(s1.embed["part0"][key]),
+                np.asarray(jax.device_get(s2.embed["part0"][key])),
+                atol=3e-5)
+
     def test_off_explicit_matches_single_device(self):
         """Off under the explicit exchange: unified hot/cold table
         row-shards; the hot_dict row-shards and is answered owner-compute
