@@ -53,7 +53,9 @@ class Config:
                                        # (see docs/EXPERIMENTS.md)
     cafe_plus_staging_frac: float = 0.1  # staging tier's bucket share (the
                                        # reference hard-codes 0.1); raise to
-                                       # ~0.3 at tight compression
+                                       # ~0.3-0.5 at tight compression, or
+                                       # -1 = flow-proportional auto
+                                       # (sizing.auto_staging_frac)
     cafe_mig_lanes: int = 256          # migration-lane budget: per SHARD in the
                                        # sharded step; x16 (min 4096) on a single
                                        # device. Promotions beyond it are reverted

@@ -93,24 +93,29 @@ def build_embedding_layer(cfg, counts, dim: int,
         full_part(small)
         goff = np.concatenate([[0], np.cumsum(counts)[:-1]])
         max_count = max(counts)
+        sfrac = getattr(cfg, "cafe_plus_staging_frac", 0.1)
         cafe_kwargs = dict(
             plus=cfg.cafe_plus,
             adjust_threshold=cfg.cafe_adjust_threshold,
             alpha=cfg.cafe_alpha,
             mig_lanes=getattr(cfg, "cafe_mig_lanes", 256),
             plus_inherit=getattr(cfg, "cafe_plus_inherit", False),
-            plus_staging_frac=getattr(cfg, "cafe_plus_staging_frac", 0.1))
+            plus_staging_frac=sfrac)
         if cfg.cafe_hot_separate_field:
             for i in big:
                 hotn = sizing.cafe_field_hotn(counts[i], cr, dim,
                                               cfg.cafe_hash_rate)
                 if hotn > 1:
+                    kw = dict(cafe_kwargs)
+                    if sfrac < 0:  # flow-proportional auto (sizing.py)
+                        kw["plus_staging_frac"] = sizing.auto_staging_frac(
+                            cfg.mini_batch_size, hotn)
                     parts.append(CafePart(
                         [i], [counts[i]], [int(goff[i])], hotn,
                         [sizing.cafe_hash_size(counts[i], cr,
                                                cfg.cafe_hash_rate)],
                         dim, cfg.cafe_sketch_threshold, cfg.cafe_decay,
-                        counts[i], opt, cfg.cafe_use_freq, **cafe_kwargs))
+                        counts[i], opt, cfg.cafe_use_freq, **kw))
                 else:  # too small for a hot pool -> plain hash fallback
                     parts.append(HashedTablePart(
                         [i], [counts[i]],
@@ -118,6 +123,10 @@ def build_embedding_layer(cfg, counts, dim: int,
         else:
             hotn = sizing.cafe_hotn(counts, cr, dim, cfg.cafe_hash_rate)
             if hotn > 1:
+                if sfrac < 0:  # flow-proportional auto (sizing.py)
+                    cafe_kwargs["plus_staging_frac"] = \
+                        sizing.auto_staging_frac(
+                            cfg.mini_batch_size * len(big), hotn)
                 parts.append(CafePart(
                     big, [counts[i] for i in big],
                     [int(goff[i]) for i in big], hotn,

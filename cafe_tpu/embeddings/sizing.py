@@ -105,3 +105,18 @@ def cafe_field_hotn(n: int, compress_rate: float, dim: int,
 
 def cafe_hash_size(n: int, compress_rate: float, hash_rate: float) -> int:
     return int(math.ceil(compress_rate * hash_rate * n))
+
+
+def auto_staging_frac(flow_per_step: int, hotn: int) -> float:
+    """Flow-proportional CAFE+ staging share (opt-in via
+    --cafe_plus_staging_frac -1).
+
+    The staging LRU thrashes when the id flow per hot slot is extreme:
+    the round-2 sweep at the Criteo-scale stream (docs/EXPERIMENTS.md,
+    cr=1e-4: 53k ids/step onto 1,735 slots -> frac 0.5 best, +0.10 AUC
+    over the reference's 0.1; cr>=1e-3: ~3.5 ids/slot -> 0.1 fine)
+    calibrates frac ~= flow_per_slot / 60, clipped to [0.1, 0.5] —
+    the reference's hard-coded share at low flow, the sweep's winner at
+    extreme flow. Beyond-reference knob; OFF unless requested."""
+    fps = flow_per_step / max(hotn, 1)
+    return float(min(max(fps / 60.0, 0.1), 0.5))

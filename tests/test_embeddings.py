@@ -409,3 +409,33 @@ class TestUniqueCompactOps:
         idx = jnp.asarray(np.arange(100, dtype=np.int32))
         uids, inv, nu = unique_compact(idx, 32, 2**30)
         assert int(nu) == 100  # callers detect overflow from this
+
+
+class TestAutoStagingFrac:
+    """Flow-proportional CAFE+ staging share (beyond-reference knob,
+    --cafe_plus_staging_frac -1; calibration: docs/EXPERIMENTS.md
+    round-2 sweep)."""
+
+    def test_calibration_points(self):
+        # cr=1e-4 regime: 53k ids/step onto 1,735 slots -> ~0.5
+        assert sizing.auto_staging_frac(2048 * 26, 1735) == pytest.approx(
+            0.5, abs=0.02)
+        # cr>=1e-3 regime: ~3.5 ids/slot -> the reference's 0.1
+        assert sizing.auto_staging_frac(2048 * 26, 15433) == 0.1
+        # bounds
+        assert sizing.auto_staging_frac(10, 100000) == 0.1
+        assert sizing.auto_staging_frac(10**9, 10) == 0.5
+
+    def test_builder_auto_mode(self):
+        cfg = Config(compress_method="cafe", cafe_plus=True,
+                     compress_rate=0.001, cafe_plus_staging_frac=-1.0,
+                     mini_batch_size=2048, embedding_dim=16,
+                     cafe_hash_rate=0.2)
+        counts = [200000] * 8
+        layer = build_embedding_layer(cfg, counts, 16)
+        cafe = [p for p in layer.parts if isinstance(p, CafePart)]
+        assert cafe and cafe[0].plus
+        expect = sizing.auto_staging_frac(2048 * len(cafe[0].field_idx),
+                                          cafe[0].hotn)
+        assert cafe[0].sketch_cfg.staging_frac == pytest.approx(expect)
+        assert cafe[0].sketch_cfg.staging_frac > 0.1  # tight regime here
