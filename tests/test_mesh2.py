@@ -135,6 +135,38 @@ def test_two_level_outer_traffic_leq_inner():
         f"{by_axis['dcn']}")
 
 
+def test_two_level_equals_flat_mesh_bitwise():
+    """The 2x4 ('dcn','ici') mesh with tuple-axis collectives IS the
+    flat 8-device exchange in a different coordinate system: device
+    order, shard ownership, and collective tiling all coincide, so CAFE
+    (shard-local sketch and all) must produce the SAME numbers as the
+    flat mesh — promotion-for-promotion."""
+    cfg = _cfg(method="cafe", compress_rate=0.05)
+    train = get_dataset(cfg, "train")
+    from cafe_tpu.train.loop import build_all as _build
+    mesh_flat = make_mesh(8)
+    m1, e1, s1_0, st1, _ = _build(cfg, train, mesh=mesh_flat)
+    f1, s1 = shard_train_step(st1, mesh_flat, s1_0,
+                              shard_embeddings=True)
+    e2, f2, s2, _, _ = _build_2level(cfg, train)
+    for dense, sparse, label, valid in list(
+            batch_iterator(train, 128, drop_last=True))[:6]:
+        args = (jnp.asarray(dense), jnp.asarray(sparse),
+                jnp.asarray(label), jnp.asarray(valid))
+        s1, m1_ = f1(s1, *args)
+        s2, m2_ = f2(s2, *args)
+        assert float(m1_["loss"]) == pytest.approx(float(m2_["loss"]),
+                                                   rel=1e-6)
+        assert int(m1_["cafe_promotions"]) == int(m2_["cafe_promotions"])
+    t1 = np.asarray(jax.device_get(s1.embed["part0"]["table"]))
+    t2 = np.asarray(jax.device_get(s2.embed["part0"]["table"]))
+    np.testing.assert_allclose(t1, t2, atol=1e-6)
+    sk1 = jax.device_get(s1.embed["part0"]["sketch"])
+    sk2 = jax.device_get(s2.embed["part0"]["sketch"])
+    np.testing.assert_array_equal(np.asarray(sk1.dic),
+                                  np.asarray(sk2.dic))
+
+
 def test_two_level_cafe_hierarchical_compact_runs():
     """CAFE on the 2x4 mesh with the unique-compact exchange: the row
     fetch/update legs ride the hierarchical compacting exchange while
