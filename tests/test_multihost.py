@@ -87,6 +87,25 @@ def test_two_process_mesh_matches_single_process():
                                                abs=0.5)
 
 
+@pytest.mark.timeout(900)
+def test_two_process_two_level_mesh_matches_single_process():
+    """The pod deployment shape: 2 processes x 4 local devices with
+    --mesh_inner 4 — the 'dcn' axis IS the process boundary, 'ici' the
+    local chips — plus the unique-compact hierarchical exchange. Must
+    match the single-process 2x4 run loss-for-loss."""
+    extra = ["--mesh_inner", "4", "--shard_unique_frac", "0.5"]
+    outs = _launch_pair("localhost:12405", extra)
+    ref = _run(extra, 8)
+    ref_out, _ = ref.communicate(timeout=600)
+    assert ref.returncode == 0, ref_out[-3000:]
+    l0, l1, lr = _losses(outs[0]), _losses(outs[1]), _losses(ref_out)
+    assert l0 and l0.keys() == l1.keys() == lr.keys()
+    for it in lr:
+        assert l0[it] == pytest.approx(l1[it], abs=1e-6)
+        assert l0[it] == pytest.approx(lr[it], rel=2e-3, abs=2e-3), \
+            f"iter {it}: 2-proc {l0[it]} vs single {lr[it]}"
+
+
 @pytest.mark.timeout(600)
 def test_two_process_dp_only_builds_mesh():
     """Multi-process WITHOUT --shard_embeddings must still build the
