@@ -238,6 +238,22 @@ class CafePart(Part):
         sk = state["sketch"]
         sk_specs = sketch_partition_specs(sk, AXIS)
 
+        goff = jnp.asarray(self.global_offsets, dtype=jnp.int32)
+        two_level = len(AXIS) == 2
+
+        def _answer(sk_g, cand, me):
+            """Row map for a candidate id list: each sketch shard answers
+            the ids it owns, an int32 psum over the mesh publishes."""
+            mine = shard_of(cand, n) == me
+            q_ids = jnp.where(mine, cand, INVALID_ID)
+            q = self._sk_query(lcfg, shard_local_view(sk_g), q_ids)
+            slot_g = jnp.where(mine & (q < 0), -q + me * s_l, 0)
+            slot_all = jax.lax.psum(slot_g, AXIS)
+            pf = jnp.clip(jnp.searchsorted(goff, cand, side="right") - 1,
+                          0, len(self.field_idx) - 1)
+            hrow = (cand % hsz[pf]) + hoff[pf] + self.hash_base
+            return jnp.where(slot_all > 0, slot_all, hrow), slot_all > 0
+
         def route(sk_g, oids_l):
             # ROUTING ONLY (id-sized traffic): each sketch shard answers
             # hot-routing for the ids it owns; the int32 psum publishes
@@ -249,18 +265,47 @@ class CafePart(Part):
             bl, fl = oids_l.shape
             m = bl * fl
             me = jax.lax.axis_index(AXIS)
-            all_oids = jax.lax.all_gather(oids_l.reshape(m), AXIS,
-                                          tiled=True)
-            mine = shard_of(all_oids, n) == me
-            q_ids = jnp.where(mine, all_oids, INVALID_ID)
-            q = self._sk_query(lcfg, shard_local_view(sk_g), q_ids)
-            slot_g = jnp.where(mine & (q < 0), -q + me * s_l, 0)
-            slot_all = jax.lax.psum(slot_g, AXIS)          # [M] global slots
-            field = jnp.arange(all_oids.shape[0]) % fl
-            hrow_all = (all_oids % hsz[field]) + hoff[field] + self.hash_base
-            row_all = jnp.where(slot_all > 0, slot_all, hrow_all)
-            row_me = jax.lax.dynamic_slice(row_all, (me * m,), (m,))
-            hot_me = jax.lax.dynamic_slice(slot_all, (me * m,), (m,)) > 0
+
+            def flat_route(_):
+                all_oids = jax.lax.all_gather(oids_l.reshape(m), AXIS,
+                                              tiled=True)
+                row_all, hot_all = _answer(sk_g, all_oids, me)
+                row_me = jax.lax.dynamic_slice(row_all, (me * m,), (m,))
+                hot_me = jax.lax.dynamic_slice(
+                    hot_all.astype(jnp.int32), (me * m,), (m,)) > 0
+                return row_me, hot_me
+
+            if not two_level:
+                row_me, hot_me = flat_route(None)
+                return row_me.reshape(bl, fl), hot_me.reshape(bl, fl)
+
+            # hierarchical id leg: combine distinct ids within the host
+            # before they cross DCN (only the compact unique set moves)
+            from ..ops.sparse import unique_compact
+            from ..parallel.exchange import unique_cap
+            dcn_ax, ici_ax = AXIS
+            n_ici = self.mesh.shape[ici_ax]
+            m_host = m * n_ici
+            C = unique_cap(m_host, self.unique_frac)
+            if not C:
+                row_me, hot_me = flat_route(None)
+                return row_me.reshape(bl, fl), hot_me.reshape(bl, fl)
+            me_c = jax.lax.axis_index(ici_ax)
+            me_h = jax.lax.axis_index(dcn_ax)
+            ici_ids = jax.lax.all_gather(oids_l.reshape(m), ici_ax,
+                                         tiled=True)
+            uids, inv, nu = unique_compact(ici_ids, C, int(INVALID_ID))
+            over = jax.lax.pmax(nu, AXIS) > C
+
+            def compact_fn(_):
+                cand = jax.lax.all_gather(uids, dcn_ax, tiled=True)
+                row_all, hot_all = _answer(sk_g, cand, me)
+                inv_me = jax.lax.dynamic_slice(inv, (me_c * m,), (m,))
+                pos = me_h * C + jnp.clip(inv_me, 0, C - 1)
+                return row_all[pos], hot_all[pos]
+
+            row_me, hot_me = jax.lax.cond(over, flat_route, compact_fn,
+                                          None)
             return row_me.reshape(bl, fl), hot_me.reshape(bl, fl)
 
         row, is_hot = shard_map(
@@ -396,6 +441,8 @@ class CafePart(Part):
         slots_in = self._slots_of(state, "table")
         sl_specs = slot_specs(slots_in, AXIS)
 
+        two_level = len(AXIS) == 2
+
         def f(tbl, sl, sk_g, oids_l, sc_l):
             # SKETCH + MIGRATION ONLY: id/score traffic (4B lanes) plus
             # the bounded n*p_cap*D migration exchange. The batch's
@@ -406,30 +453,70 @@ class CafePart(Part):
             m = bl * fl
             me = jax.lax.axis_index(AXIS)
             rows_l = tbl.shape[0]
-            all_oids = jax.lax.all_gather(oids_l.reshape(m), AXIS,
-                                          tiled=True)
-            all_sc = jax.lax.all_gather(sc_l.reshape(m), AXIS, tiled=True)
 
-            # ---- shard-local sketch insert (unchanged kernels) --------
-            mine = shard_of(all_oids, n) == me
-            q_ids = jnp.where(mine, all_oids, INVALID_ID)
-            st = shard_local_view(sk_g)
-            st, promo = self._sk_insert(lcfg, st, q_ids, all_sc)
+            def insert_leg(cand, cand_sc):
+                """Insert a candidate (id, score) list into the
+                shard-local sketch; promotions capped at p_cap and
+                compacted to fixed lanes (shape-independent of len(cand),
+                so the flat and hierarchical branches can share a
+                lax.cond)."""
+                mine = shard_of(cand, n) == me
+                q_ids = jnp.where(mine, cand, INVALID_ID)
+                st = shard_local_view(sk_g)
+                st, promo = self._sk_insert(lcfg, st, q_ids, cand_sc)
+                rank = jnp.cumsum(promo.mask.astype(jnp.int32)) - 1
+                excess = promo.mask & (rank >= p_cap)
+                st = self._sk_revert(lcfg, st, q_ids, promo, excess)
+                keep = promo.mask & ~excess
+                pos = jnp.where(keep, jnp.clip(rank, 0, p_cap - 1), p_cap)
+                cp_ids = jnp.full(p_cap + 1, INVALID_ID,
+                                  jnp.int32).at[pos].set(
+                    promo.ids, mode="drop")[:p_cap]
+                cp_slot = jnp.zeros(p_cap + 1, jnp.int32).at[pos].set(
+                    promo.slots + me * s_l, mode="drop")[:p_cap]
+                cp_mask = jnp.zeros(p_cap + 1, bool).at[pos].set(
+                    keep, mode="drop")[:p_cap]
+                return (st, cp_ids, cp_slot, cp_mask,
+                        keep.sum(dtype=jnp.int32))
 
-            # ---- lossless promotion capping: revert lanes beyond p_cap
-            rank = jnp.cumsum(promo.mask.astype(jnp.int32)) - 1
-            excess = promo.mask & (rank >= p_cap)
-            st = self._sk_revert(lcfg, st, q_ids, promo, excess)
-            keep = promo.mask & ~excess
+            def flat_leg(_):
+                all_oids = jax.lax.all_gather(oids_l.reshape(m), AXIS,
+                                              tiled=True)
+                all_sc = jax.lax.all_gather(sc_l.reshape(m), AXIS,
+                                            tiled=True)
+                return insert_leg(all_oids, all_sc)
 
-            # ---- compact promotions to p_cap lanes, publish globally --
-            pos = jnp.where(keep, jnp.clip(rank, 0, p_cap - 1), p_cap)
-            cp_ids = jnp.full(p_cap + 1, INVALID_ID, jnp.int32).at[pos].set(
-                promo.ids, mode="drop")[:p_cap]
-            cp_slot = jnp.zeros(p_cap + 1, jnp.int32).at[pos].set(
-                promo.slots + me * s_l, mode="drop")[:p_cap]
-            cp_mask = jnp.zeros(p_cap + 1, bool).at[pos].set(
-                keep, mode="drop")[:p_cap]
+            hier = False
+            if two_level:
+                from ..ops.sparse import coalesce_compact
+                from ..parallel.exchange import unique_cap
+                dcn_ax, ici_ax = AXIS
+                n_ici = self.mesh.shape[ici_ax]
+                C = unique_cap(m * n_ici, self.unique_frac)
+                hier = bool(C)
+            if hier:
+                # hierarchical (id, score-sum) leg: duplicates combine
+                # within the host before crossing DCN (score sums are
+                # exactly what the insert segment-sums anyway)
+                ici_ids = jax.lax.all_gather(oids_l.reshape(m), ici_ax,
+                                             tiled=True)
+                ici_sc = jax.lax.all_gather(sc_l.reshape(m), ici_ax,
+                                            tiled=True)
+                uids, usc, nu = coalesce_compact(
+                    ici_ids, ici_sc[:, None], C, int(INVALID_ID))
+                over = jax.lax.pmax(nu, AXIS) > C
+
+                def compact_leg(_):
+                    cand = jax.lax.all_gather(uids, dcn_ax, tiled=True)
+                    cand_sc = jax.lax.all_gather(usc[:, 0], dcn_ax,
+                                                 tiled=True)
+                    return insert_leg(cand, cand_sc)
+
+                st, cp_ids, cp_slot, cp_mask, n_keep = jax.lax.cond(
+                    over, flat_leg, compact_leg, None)
+            else:
+                st, cp_ids, cp_slot, cp_mask, n_keep = flat_leg(None)
+
             gp_ids = jax.lax.all_gather(cp_ids, AXIS, tiled=True)
             gp_slot = jax.lax.all_gather(cp_slot, AXIS, tiled=True)
             gp_mask = jax.lax.all_gather(cp_mask, AXIS, tiled=True)
@@ -450,7 +537,7 @@ class CafePart(Part):
                       if getattr(v, "ndim", 0) == 2 else v)
                   for k, v in sl.items()}
 
-            n_promo = jax.lax.psum(keep.sum(dtype=jnp.int32), AXIS)
+            n_promo = jax.lax.psum(n_keep, AXIS)
             return tbl, sl, shard_global_view(st), n_promo
 
         table, slots_mig, new_sk, n_promo = shard_map(
