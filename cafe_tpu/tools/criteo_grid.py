@@ -269,16 +269,26 @@ def main(argv=None):
         if key in done:
             print(f"skip {key} (done)", flush=True)
             continue
-        base_method = {"full": None, "cafe_plus": "cafe"}.get(method,
-                                                              method)
+        # CAFE+ variants: plain (reference semantics), inherit (the
+        # beyond-reference Space-Saving count inheritance), auto
+        # (inherit + flow-proportional staging share)
+        plus_variants = {
+            "cafe_plus": {},
+            "cafe_plus_inherit": {"cafe_plus_inherit": True},
+            "cafe_plus_auto": {"cafe_plus_inherit": True,
+                               "cafe_plus_staging_frac": -1.0},
+        }
+        base_method = (None if method == "full"
+                       else "cafe" if method in plus_variants else method)
         cfg = Config(
             dataset="criteo", model="dlrm", embedding_dim=16,
             compress_method=base_method,
-            cafe_plus=(method == "cafe_plus"),
+            cafe_plus=(method in plus_variants),
             compress_rate=cr,
             cafe_sketch_threshold=max(thr * thr_scale, 2.0),
             cafe_hash_rate=hr, learning_rate=0.1,
             mini_batch_size=args.batch, test_mini_batch_size=16384,
+            **plus_variants.get(method, {}),
         )
         print(f"--- {method} cr={cr} thr={cfg.cafe_sketch_threshold:.1f} "
               f"hash_rate={hr}", flush=True)
