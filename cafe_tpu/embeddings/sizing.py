@@ -112,11 +112,16 @@ def auto_staging_frac(flow_per_step: int, hotn: int) -> float:
     --cafe_plus_staging_frac -1).
 
     The staging LRU thrashes when the id flow per hot slot is extreme:
-    the round-2 sweep at the Criteo-scale stream (docs/EXPERIMENTS.md,
-    cr=1e-4: 53k ids/step onto 1,735 slots -> frac 0.5 best, +0.10 AUC
-    over the reference's 0.1; cr>=1e-3: ~3.5 ids/slot -> 0.1 fine)
-    calibrates frac ~= flow_per_slot / 60, clipped to [0.1, 0.5] —
-    the reference's hard-coded share at low flow, the sweep's winner at
-    extreme flow. Beyond-reference knob; OFF unless requested."""
+    the round-2/3 sweeps (docs/EXPERIMENTS.md; cr=1e-4: ~31 ids/slot ->
+    share 0.5 recovers v1 parity where the reference's 0.1 sits at the
+    hash floor; <= ~7 ids/slot: 0.1 is fine). Below the thrash onset
+    (15 ids/slot) the share SNAPS to the reference's exact 0.1 — at
+    small sketch sizes any re-partition of the bucket layout shifts AUC
+    by +-1-2 points non-monotonically (measured: frac 0.09/0.10/0.12
+    under drift span 0.603-0.617), so off-regime deviations buy nothing
+    and cost noise. Above the onset: linear to 0.5 at 30 ids/slot.
+    Beyond-reference knob; OFF unless requested."""
     fps = flow_per_step / max(hotn, 1)
-    return float(min(max(fps / 60.0, 0.1), 0.5))
+    if fps <= 15.0:
+        return 0.1
+    return float(min(0.1 + 0.4 * (fps - 15.0) / 15.0, 0.5))

@@ -275,8 +275,12 @@ def main(argv=None):
         plus_variants = {
             "cafe_plus": {},
             "cafe_plus_inherit": {"cafe_plus_inherit": True},
-            "cafe_plus_auto": {"cafe_plus_inherit": True,
-                               "cafe_plus_staging_frac": -1.0},
+            # auto adapts ONLY the staging share; inherit stays separate
+            # (it rescues stationary extreme compression but mis-promotes
+            # on stale counts under drift — docs/EXPERIMENTS.md shift)
+            "cafe_plus_auto": {"cafe_plus_staging_frac": -1.0},
+            "cafe_plus_auto_inherit": {"cafe_plus_inherit": True,
+                                       "cafe_plus_staging_frac": -1.0},
         }
         base_method = (None if method == "full"
                        else "cafe" if method in plus_variants else method)

@@ -422,6 +422,10 @@ class TestAutoStagingFrac:
             0.5, abs=0.02)
         # cr>=1e-3 regime: ~3.5 ids/slot -> the reference's 0.1
         assert sizing.auto_staging_frac(2048 * 26, 15433) == 0.1
+        # DEADBAND: below the 15 ids/slot thrash onset the share snaps
+        # to the reference's exact 0.1 (small-sketch layout sensitivity)
+        assert sizing.auto_staging_frac(1536, 216) == 0.1
+        assert sizing.auto_staging_frac(14 * 100, 100) == 0.1
         # bounds
         assert sizing.auto_staging_frac(10, 100000) == 0.1
         assert sizing.auto_staging_frac(10**9, 10) == 0.5
