@@ -117,9 +117,28 @@ def make_criteo_batches(batch: int = BATCH, n_batches: int = 8):
 
 
 def main():
+    # Device-init watchdog: when the TPU tunnel is unreachable,
+    # jax.devices() blocks indefinitely in native code (observed: hours
+    # during round 3). Fail fast with a diagnosable JSON line instead of
+    # hanging the calling harness.
+    import json as _json
+    import os as _os
+    import threading as _th
+    watchdog = _th.Timer(600.0, lambda: (
+        print(_json.dumps({
+            "metric": "dlrm_cafe_train_examples_per_s", "value": 0,
+            "unit": "examples/s/chip", "vs_baseline": 0,
+            "error": "device init exceeded 600s — TPU tunnel unreachable",
+        }), flush=True),
+        _os._exit(3)))
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
     from cafe_tpu.config import Config
     from cafe_tpu.train.loop import build_all
+    jax.devices()          # force backend init under the watchdog
+    watchdog.cancel()
 
     cfg = Config(
         dataset="criteo", model="dlrm", embedding_dim=16,
