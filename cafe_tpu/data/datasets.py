@@ -162,6 +162,12 @@ class _MultiFileCTRArrays(CTRArrays):
     def read_rows(self, start: int, stop: int):
         """Gather rows [start, stop) possibly crossing file boundaries."""
         sp, de, la = [], [], []
+        if start >= stop:
+            # Empty range (e.g. a process whose tail slice falls entirely in
+            # the global batch's padding): typed 0-row slices, same shapes.
+            sp.append(self.sparse_parts[0][:0])
+            de.append(self.dense_parts[0][:0])
+            la.append(self.label_parts[0][:0])
         lo = start
         while lo < stop:
             f = int(np.searchsorted(self.offsets, lo, side="right") - 1)

@@ -595,10 +595,57 @@ class OffPart(Part):
         from ..ops.quantized import dequantize_rows
         b, f = ids.shape
         doff = jnp.asarray(self.dict_off, dtype=jnp.int32)
-        hd = state["hot_dict"][ids + doff[None, :]]
+        gid = ids + doff[None, :]
+        if self.mesh is not None:
+            # hot_dict is row-sharded under the explicit exchange; a
+            # direct state["hot_dict"][gid] would make the auto-
+            # partitioner materialize the O(vocab) dict on every device
+            # per eval batch — use the same owner-compute exchange as
+            # the float path, with owners dequantizing their shard.
+            return self._gather_quantized_sharded(state, qt, ids, gid)
+        hd = state["hot_dict"][gid]
         row, _ = self._route(ids, hd)
         return dequantize_rows(qt["table"], row.reshape(-1)).reshape(
             b, f, -1)
+
+    def _gather_quantized_sharded(self, state, qt, ids, gid):
+        """_gather_sharded for the int4/int8 serving copy: dict lanes are
+        answered by their owners, rows dequantized owner-side, f32 rows
+        psum_scattered back — O(batch) traffic, never O(vocab)."""
+        from ..ops.quantized import QuantizedTable, dequantize_rows
+        from ..parallel.embedding_parallel import shard_map
+        from ..parallel.exchange import mesh_axes, owner_lookup_1d
+        from jax.sharding import PartitionSpec as P
+
+        ax = mesh_axes(self.mesh)
+        qtab = qt["table"]
+        bits = qtab.bits
+
+        def fwd(codes, scale, zero, hdic, ids_l, gid_l):
+            b_l, f_l = ids_l.shape
+            m = b_l * f_l
+            me = jax.lax.axis_index(ax)
+            all_gid = jax.lax.all_gather(gid_l.reshape(m), ax, tiled=True)
+            all_ids = jax.lax.all_gather(ids_l.reshape(m), ax, tiled=True)
+            hd_all = owner_lookup_1d(hdic, all_gid, ax)
+            row_all, _ = self._route(all_ids.reshape(-1, f_l),
+                                     hd_all.reshape(-1, f_l))
+            rows_l = codes.shape[0]
+            loc = row_all.reshape(-1) - me * rows_l
+            mine = (loc >= 0) & (loc < rows_l)
+            local = QuantizedTable(codes, scale, zero, bits)
+            vals = dequantize_rows(local, jnp.clip(loc, 0, rows_l - 1))
+            vals = jnp.where(mine[:, None], vals, 0)
+            out = jax.lax.psum_scatter(vals, ax, scatter_dimension=0,
+                                       tiled=True)
+            return out.reshape(b_l, f_l, -1)
+
+        return shard_map(
+            fwd, self.mesh,
+            in_specs=(P(ax, None), P(ax, None), P(ax, None), P(ax),
+                      P(ax, None), P(ax, None)),
+            out_specs=P(ax, None, None),
+        )(qtab.codes, qtab.scale, qtab.zero, state["hot_dict"], ids, gid)
 
 
 class EmbeddingLayer:

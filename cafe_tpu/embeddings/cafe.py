@@ -322,6 +322,14 @@ class CafePart(Part):
                     aux, lr: float):
         if self.mesh is not None:
             return self._apply_sharded(state, ids, g_raw, aux, lr)
+        if self.n_shards > 1:
+            # enable_sharded_layout is serving/inspection-only: the flat
+            # insert path applied to the sharded sketch layout would
+            # mis-hash buckets and silently corrupt promotions/counters.
+            raise RuntimeError(
+                "CafePart: training in sharded-layout mode requires the "
+                "mesh (enable_mesh); enable_sharded_layout supports "
+                "serving/inspection only")
         oids, row, hrow, is_hot = aux
         b, f, d = g_raw.shape
 

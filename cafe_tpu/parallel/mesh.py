@@ -53,18 +53,22 @@ def make_mesh(n_devices: Optional[int] = None, inner: int = 0) -> Mesh:
         devs = devs[:n_devices]
         if jax.process_count() > 1 and n_devices < len(jax.devices()):
             # a device-subset mesh under multi-process execution would
-            # exclude some process's local devices, after which
+            # exclude some of a process's local devices, after which
             # make_array_from_process_local_data fails opaquely — reject
-            # up front with the fix spelled out
-            missing = [p for p in range(jax.process_count())
-                       if not any(d.process_index == p for d in devs)]
-            if missing:
+            # up front with the fix spelled out. Every process's local
+            # devices must be FULLY covered (partial coverage breaks the
+            # per-process row split just as badly as exclusion).
+            chosen = {id(d) for d in devs}
+            partial = sorted({d.process_index for d in jax.devices()
+                              if id(d) not in chosen})
+            if partial:
                 raise ValueError(
-                    f"mesh_shape {n_devices} covers no devices of "
-                    f"process(es) {missing}; under multi-process "
+                    f"mesh_shape {n_devices} omits local devices of "
+                    f"process(es) {partial}; under multi-process "
                     f"execution the mesh must include every process's "
-                    f"local devices (use the full {len(jax.devices())}"
-                    f"-device mesh or launch fewer processes)")
+                    f"local devices in full (use the full "
+                    f"{len(jax.devices())}-device mesh or launch fewer "
+                    f"processes)")
     if inner:
         if len(devs) % inner:
             raise ValueError(

@@ -163,9 +163,16 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
         for b in batch_iterator(test_data, cfg.test_mini_batch_size):
             got = True
             if cache is not None:
-                dense, sparse, label, valid = b
-                b = (None if dense is None else jnp.asarray(dense),
-                     jnp.asarray(sparse), label, valid)
+                if not multiproc:
+                    # single-process: stage on device once; every cycle
+                    # reuses the device buffer and jnp.asarray below is a
+                    # no-op. Under multi-process the stream feeds
+                    # global_batches, which slices + re-uploads host
+                    # arrays — caching DEVICE arrays there would add a
+                    # D2H round-trip per batch, so keep host numpy.
+                    dense, sparse, label, valid = b
+                    b = (None if dense is None else jnp.asarray(dense),
+                         jnp.asarray(sparse), label, valid)
                 cache.append(b)
             yield b
         if not got:

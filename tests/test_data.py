@@ -215,3 +215,32 @@ def test_process_batch_iterator_with_index_and_mod_range():
             np.testing.assert_array_equal(ll, gl[lo:hi])
             np.testing.assert_array_equal(ld, gd[lo:hi])
             assert ls.max() < 127
+
+
+def test_process_batch_iterator_multifile_fully_padded_slice():
+    """Multi-file (criteotb-style) datasets must survive a process whose
+    tail slice falls ENTIRELY in the global batch's padding: read_rows is
+    then asked for an empty range and must return typed 0-row arrays
+    (regression: IndexError at the last batch of every multi-host epoch)."""
+    from cafe_tpu.data import make_synthetic_arrays
+    from cafe_tpu.data.datasets import (_MultiFileCTRArrays, batch_iterator,
+                                        process_batch_iterator)
+    base = make_synthetic_arrays(rows=10, fields=3, vocab=50, dense=4,
+                                 seed=5)
+    data = _MultiFileCTRArrays(
+        [base.sparse[:6], base.sparse[6:]],
+        [base.dense[:6], base.dense[6:]],
+        [base.label[:6], base.label[6:]],
+        base.counts, max_ind_range=-1)
+    B, nproc = 8, 4  # final batch: glo=8, valid=2 -> pids 1..3 all-padding
+    globals_ = list(batch_iterator(data, B))
+    per = B // nproc
+    for pid in range(nproc):
+        locals_ = list(process_batch_iterator(data, B, pid, nproc))
+        assert len(locals_) == len(globals_)
+        for (gd, gs, gl, gv), (ld, ls, ll, lv) in zip(globals_, locals_):
+            assert lv == gv
+            lo, hi = pid * per, (pid + 1) * per
+            np.testing.assert_array_equal(ls, gs[lo:hi])
+            np.testing.assert_array_equal(ll, gl[lo:hi])
+            np.testing.assert_array_equal(ld, gd[lo:hi])

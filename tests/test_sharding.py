@@ -724,6 +724,53 @@ class TestExplicitProductionPath:
         p_q = np.asarray(q8(st2, jnp.asarray(dense), jnp.asarray(sparse)))
         assert np.abs(p_f - p_q).mean() < 0.01
 
+    def test_off_quantized_serving_on_mesh(self):
+        """int8 serving Off state ON the live mesh: the row-sharded
+        hot_dict must be answered owner-compute in the quantized path too
+        (regression: a direct dict index would make the auto-partitioner
+        replicate the O(vocab) dict per eval batch)."""
+        from cafe_tpu.train.step import build_quantized_eval_step
+        cfg = self._cfg(method="off", compress_rate=0.05)
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        embed, sharded, st, ev, mesh = self._build_sharded(cfg, train)
+        from cafe_tpu.embeddings.base import OffPart
+        assert any(isinstance(p, OffPart) and p.mesh is not None
+                   for p in embed.parts)
+        batches = list(batch_iterator(train, 128, drop_last=True))[:8]
+        for dense, sparse, label, valid in batches:
+            st, _ = sharded(st, jnp.asarray(dense), jnp.asarray(sparse),
+                            jnp.asarray(label), jnp.asarray(valid))
+        from cafe_tpu.train.loop import build_all as _ba
+        model2, embed2, _, _, _ = _ba(cfg, train, mesh=mesh)
+        q8 = build_quantized_eval_step(model2, embed2, st, 8)
+        dense, sparse, label, valid = batches[0]
+        p_f = np.asarray(jax.device_get(
+            ev(st, jnp.asarray(dense), jnp.asarray(sparse))))
+        p_q = np.asarray(jax.device_get(
+            q8(st, jnp.asarray(dense), jnp.asarray(sparse))))
+        assert np.abs(p_f - p_q).mean() < 0.01
+
+    def test_sharded_layout_training_raises(self):
+        """enable_sharded_layout is serving-only: a train step against the
+        mesh-less sharded layout must raise instead of silently corrupting
+        the sharded sketch with flat-layout inserts."""
+        from cafe_tpu.embeddings.cafe import CafePart
+        cfg = self._cfg()
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        from cafe_tpu.train.step import init_state
+        model, embed, _, _, _ = build_all(cfg, train)
+        cafe = [p for p in embed.parts if isinstance(p, CafePart)]
+        assert cafe and cafe[0].enable_sharded_layout(8)
+        state = init_state(model, embed, cfg.numpy_rand_seed, cfg.optimizer)
+        p = cafe[0]
+        ids = jnp.zeros((4, len(p.field_idx)), jnp.int32)
+        raw, aux = p.gather(state.embed["part0"], ids)
+        g = jnp.ones_like(raw)
+        with pytest.raises(RuntimeError, match="serving/inspection"):
+            p.apply_grads(state.embed["part0"], ids, g, aux, 0.1)
+
     def test_separate_field_sharded(self):
         """--cafe_hot_separate_field builds one CafePart (and sketch) per
         field; each shards independently under the explicit exchange."""
