@@ -567,6 +567,40 @@ class TestExplicitProductionPath:
             f"{method}: total collective bytes {total} >> model "
             f"{model_bytes}+{dense_bytes}+{extra}")
 
+    @pytest.mark.parametrize("method", ["off", "cafe"])
+    def test_hlo_quantized_serving_no_table_collectives(self, method):
+        """The int8 serving path on the live mesh must also move O(batch)
+        bytes only — Off's row-sharded hot_dict and the quantized codes
+        must never be gathered table-sized (the serving-path counterpart
+        of the training-path audit above)."""
+        from cafe_tpu.tools.hlo_traffic import collective_stats
+        from cafe_tpu.train.step import build_quantized_eval_step
+        vocab = 2 ** 21
+        cfg = self._cfg(method=method, compress_rate=0.05, vocab=vocab)
+        from cafe_tpu.train.loop import get_dataset
+        train = get_dataset(cfg, "train")
+        embed, sharded, st, _, mesh = self._build_sharded(cfg, train)
+        from cafe_tpu.train.loop import build_all as _ba
+        model2, embed2, _, _, _ = _ba(cfg, train, mesh=mesh)
+        q8 = build_quantized_eval_step(model2, embed2, st, 8)
+        dense, sparse, label, valid = next(iter(
+            batch_iterator(train, 128, drop_last=True)))
+        txt = q8.lower(st, jnp.asarray(dense),
+                       jnp.asarray(sparse)).compile().as_text()
+        stats = collective_stats(txt)
+        part0 = st.embed["part0"]
+        big_table = max(v.shape[0] for k, v in part0.items()
+                        if getattr(v, "ndim", 0) == 2)
+        table_bytes = cfg.embedding_dim * big_table  # int8 codes
+        m_ids = 128 * 4
+        bound = 8 * m_ids * (cfg.embedding_dim + 4) * 4
+        assert bound < table_bytes // 8
+        big = [c for c in stats if c.result_bytes > bound]
+        assert not big, (
+            f"{method} quantized serving: collectives exceed the O(batch) "
+            f"bound {bound}B (codes={table_bytes}B): "
+            + "; ".join(f"{c.op}:{c.result_bytes}B" for c in big[:5]))
+
     def test_hlo_cafe_no_table_sized_collectives(self):
         from cafe_tpu.tools.hlo_traffic import collective_stats
         cfg = self._cfg(method="cafe", vocab=262144, compress_rate=0.02)
