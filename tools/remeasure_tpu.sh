@@ -41,4 +41,8 @@ timeout 14000 python -m cafe_tpu.tools.criteo_grid \
     --methods full hash cafe off \
     --out docs/criteo_grid_r3.jsonl 2>&1 | tee "$OUT/grid.txt"
 
+log "8/8 profile trace of the bench step (stage budget for the MFU work)"
+timeout 1800 python tools/profile_step.py --out "$OUT/profile" 2>&1 \
+    | tee "$OUT/profile_top.txt"
+
 log "done — artifacts in $OUT"
