@@ -202,3 +202,37 @@ def test_two_level_qr_off_ada_run():
             st, m = sharded(st, jnp.asarray(dense), jnp.asarray(sparse),
                             jnp.asarray(label), jnp.asarray(valid))
         assert np.isfinite(float(m["loss"])), method
+
+
+def test_subset_mesh_guard_rejects_partial_process_coverage(monkeypatch):
+    """Under multi-process execution a device-subset mesh must be rejected
+    whenever ANY process's local devices are only partially included —
+    partial coverage breaks make_array_from_process_local_data just as
+    opaquely as full exclusion (regression: the guard only caught the
+    fully-excluded case)."""
+    import jax
+    import pytest
+    from cafe_tpu.parallel import mesh as mesh_mod
+
+    real_devices = jax.devices()
+    assert len(real_devices) >= 8
+
+    class FakeDev:
+        def __init__(self, d, pidx):
+            self._d = d
+            self.process_index = pidx
+
+        def __getattr__(self, name):
+            return getattr(self._d, name)
+
+    # simulate 2 processes x 4 local devices
+    fake = [FakeDev(d, i // 4) for i, d in enumerate(real_devices[:8])]
+    monkeypatch.setattr(mesh_mod.jax, "devices", lambda: fake)
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+
+    # 6 devices: process 1 covered only partially (devices 4,5 of 4..7)
+    with pytest.raises(ValueError, match="omits local devices"):
+        mesh_mod.make_mesh(6)
+    # 4 devices: process 1 fully excluded — still rejected
+    with pytest.raises(ValueError, match="omits local devices"):
+        mesh_mod.make_mesh(4)
