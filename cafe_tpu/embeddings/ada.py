@@ -39,6 +39,14 @@ class AdaPart(Part):
         self.field_idx = list(field_idx)
         self.counts = [int(c) for c in counts]
         self.hotn = int(hotn)
+        if self.hotn <= 0:
+            # the sizing formula (sizing.ada_hotn, init_embed.py:83)
+            # charges the int32 dic + f32 importance (2 i32-equivalents
+            # per id) against the budget, so cr must exceed 2/dim
+            raise ValueError(
+                f"ada: hotn={self.hotn} — the row budget is consumed by "
+                f"the dic/importance overhead; ada needs compress_rate > "
+                f"2/dim (= {2.0 / dim:.4f} at dim {dim})")
         self.dim = dim
         self.optimizer = optimizer
         self.np_offsets = _offsets(self.counts)
@@ -340,9 +348,58 @@ class AdaPart(Part):
         from ..ops.quantized import dequantize_rows
         b, f = ids.shape
         off = jnp.asarray(self.np_offsets, dtype=jnp.int32)
-        rows = self._dic_lookup(state, ids + off[None, :])
+        gid = ids + off[None, :]
+        if self.mesh is not None:
+            # the O(vocab) dic is cyclic-sharded under the explicit
+            # exchange — answer it owner-compute (like the float path)
+            # instead of letting the auto-partitioner materialize it.
+            return self._gather_quantized_sharded(state, qt, gid)
+        rows = self._dic_lookup(state, gid)
         return dequantize_rows(qt["weight"], rows.reshape(-1)).reshape(
             b, f, -1)
+
+    def _gather_quantized_sharded(self, state: Dict, qt: Dict,
+                                  gid: jnp.ndarray):
+        """_gather_sharded for the int4/int8 serving copy: cyclic owners
+        answer dic lanes, slot-range owners dequantize their rows, f32
+        rows psum_scatter back — O(batch) traffic, never O(vocab)."""
+        from jax.sharding import PartitionSpec as P
+        from ..ops.quantized import QuantizedTable, dequantize_rows
+        from ..parallel.embedding_parallel import shard_map
+        from ..parallel.exchange import mesh_axes
+
+        AXIS = mesh_axes(self.mesh)
+        n = self.n_shards
+        qtab = qt["weight"]
+        bits = qtab.bits
+
+        def f(codes, scale, zero, dic_l, gid_l):
+            b_l, f_l = gid_l.shape
+            m = b_l * f_l
+            me = jax.lax.axis_index(AXIS)
+            L = dic_l.shape[0]
+            all_gid = jax.lax.all_gather(gid_l.reshape(m), AXIS,
+                                         tiled=True)
+            mine = all_gid % n == me
+            loc = jnp.where(mine, all_gid // n, 0)
+            rows = jax.lax.psum(
+                jnp.where(mine, dic_l[jnp.clip(loc, 0, L - 1)], 0), AXIS)
+            rows_l = codes.shape[0]
+            wloc = rows - me * rows_l
+            wmine = (wloc >= 0) & (wloc < rows_l)
+            local = QuantizedTable(codes, scale, zero, bits)
+            vals = dequantize_rows(local, jnp.clip(wloc, 0, rows_l - 1))
+            vals = jnp.where(wmine[:, None], vals, 0)
+            out = jax.lax.psum_scatter(vals, AXIS, scatter_dimension=0,
+                                       tiled=True)
+            return out.reshape(b_l, f_l, -1)
+
+        return shard_map(
+            f, self.mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None),
+                      P(AXIS), P(AXIS, None)),
+            out_specs=P(AXIS, None, None),
+        )(qtab.codes, qtab.scale, qtab.zero, state["dic"], gid)
 
     # -- policy -------------------------------------------------------
     def _check(self, state: Dict, key) -> Dict:

@@ -443,3 +443,13 @@ class TestAutoStagingFrac:
                                           cafe[0].hotn)
         assert cafe[0].sketch_cfg.staging_frac == pytest.approx(expect)
         assert cafe[0].sketch_cfg.staging_frac > 0.1  # tight regime here
+
+
+def test_ada_rejects_budget_consumed_by_overhead():
+    """The ada sizing formula (init_embed.py:83) charges dic+importance
+    against the row budget; at dim*cr <= 2 the hot-row count goes
+    NEGATIVE — that must be a loud error, not a silently-broken part."""
+    import pytest
+    from cafe_tpu.embeddings.ada import AdaPart
+    with pytest.raises(ValueError, match="compress_rate > 2/dim"):
+        AdaPart([0], [100000], hotn=-3125, dim=16)

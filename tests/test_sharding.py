@@ -567,16 +567,19 @@ class TestExplicitProductionPath:
             f"{method}: total collective bytes {total} >> model "
             f"{model_bytes}+{dense_bytes}+{extra}")
 
-    @pytest.mark.parametrize("method", ["off", "cafe"])
-    def test_hlo_quantized_serving_no_table_collectives(self, method):
+    @pytest.mark.parametrize("method,vocab,dim", [
+        ("off", 2 ** 22, 16), ("cafe", 2 ** 22, 16), ("ada", 2 ** 21, 64),
+    ])
+    def test_hlo_quantized_serving_no_table_collectives(self, method,
+                                                        vocab, dim):
         """The int8 serving path on the live mesh must also move O(batch)
-        bytes only — Off's row-sharded hot_dict and the quantized codes
-        must never be gathered table-sized (the serving-path counterpart
-        of the training-path audit above)."""
+        bytes only — the O(vocab) routing maps (Off's hot_dict, Ada's dic)
+        and the quantized codes must never be gathered table-sized (the
+        serving-path counterpart of the training-path audit above)."""
         from cafe_tpu.tools.hlo_traffic import collective_stats
         from cafe_tpu.train.step import build_quantized_eval_step
-        vocab = 2 ** 21
-        cfg = self._cfg(method=method, compress_rate=0.05, vocab=vocab)
+        cfg = self._cfg(method=method, compress_rate=0.05, vocab=vocab,
+                        embedding_dim=dim)
         from cafe_tpu.train.loop import get_dataset
         train = get_dataset(cfg, "train")
         embed, sharded, st, _, mesh = self._build_sharded(cfg, train)
@@ -758,19 +761,22 @@ class TestExplicitProductionPath:
         p_q = np.asarray(q8(st2, jnp.asarray(dense), jnp.asarray(sparse)))
         assert np.abs(p_f - p_q).mean() < 0.01
 
-    def test_off_quantized_serving_on_mesh(self):
-        """int8 serving Off state ON the live mesh: the row-sharded
-        hot_dict must be answered owner-compute in the quantized path too
-        (regression: a direct dict index would make the auto-partitioner
-        replicate the O(vocab) dict per eval batch)."""
+    @pytest.mark.parametrize("method,vocab,dim", [
+        ("off", 30000, 16), ("ada", 2 ** 20, 64),
+    ])
+    def test_quantized_serving_on_mesh(self, method, vocab, dim):
+        """int8 serving ON the live mesh for methods with an O(vocab)
+        routing map (Off's hot_dict, Ada's dic): the map must be answered
+        owner-compute in the quantized path too (regression: a direct
+        index would make the auto-partitioner replicate the O(vocab) map
+        per eval batch)."""
         from cafe_tpu.train.step import build_quantized_eval_step
-        cfg = self._cfg(method="off", compress_rate=0.05)
+        cfg = self._cfg(method=method, compress_rate=0.05, vocab=vocab,
+                        embedding_dim=dim)
         from cafe_tpu.train.loop import get_dataset
         train = get_dataset(cfg, "train")
         embed, sharded, st, ev, mesh = self._build_sharded(cfg, train)
-        from cafe_tpu.embeddings.base import OffPart
-        assert any(isinstance(p, OffPart) and p.mesh is not None
-                   for p in embed.parts)
+        assert any(p.mesh is not None for p in embed.parts)
         batches = list(batch_iterator(train, 128, drop_last=True))[:8]
         for dense, sparse, label, valid in batches:
             st, _ = sharded(st, jnp.asarray(dense), jnp.asarray(sparse),
