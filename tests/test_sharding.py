@@ -569,6 +569,7 @@ class TestExplicitProductionPath:
 
     @pytest.mark.parametrize("method,vocab,dim", [
         ("off", 2 ** 22, 16), ("cafe", 2 ** 22, 16), ("ada", 2 ** 21, 64),
+        ("hash", 2 ** 22, 16), ("qr", 2 ** 22, 16),
     ])
     def test_hlo_quantized_serving_no_table_collectives(self, method,
                                                         vocab, dim):
