@@ -193,7 +193,8 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
     # accumulate a per-batch checksum on device and VALUE-FETCH it at the
     # window end (utils/timing.fence); block_until_ready is not trusted
     # on this runtime (round-2 verdict)
-    from ..utils.timing import fence
+    from ..utils.timing import fence, queue_bound
+    qbound = queue_bound()
     p = None
     acc = None
     for it, (dense, sparse, label, valid) in enumerate(stream):
@@ -208,6 +209,14 @@ def inference(cfg: Config, eval_step, state: TrainState, test_data,
             if it >= 10:
                 n_timed += 1
                 acc = p[0] if acc is None else acc + p[0]
+                if n_timed % qbound == 0:
+                    # bound the async dispatch queue: an unbounded chain
+                    # of collective eval programs livelocks the CPU test
+                    # backend (utils/timing.queue_bound) and grows device
+                    # memory everywhere. The fence is INSIDE the timed
+                    # window, so it can only understate throughput,
+                    # never inflate it.
+                    fence(acc)
             if it == 1023:
                 break
             continue
@@ -245,6 +254,21 @@ def run(cfg: Config) -> Dict:
         # the TPU tunnel plugin ignores JAX_PLATFORMS; the config knob is
         # authoritative (must land before first backend use)
         jax.config.update("jax_platforms", cfg.force_platform)
+        if cfg.force_platform == "cpu":
+            import os
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "collective_call_terminate_timeout" not in flags:
+                # virtual CPU devices share the host's cores: a heavy
+                # sharded program can take minutes before every device
+                # thread reaches its first collective; the default
+                # 20s/40s rendezvous watchdog kills the (correct) run
+                os.environ["XLA_FLAGS"] = (
+                    flags +
+                    " --xla_cpu_collective_call_warn_stuck_timeout_seconds"
+                    "=300"
+                    " --xla_cpu_collective_call_terminate_timeout_seconds"
+                    "=1200"
+                    " --xla_cpu_collective_timeout_seconds=1200").strip()
     from ..parallel.mesh import maybe_init_distributed
     if maybe_init_distributed(cfg):
         print(f"process {jax.process_index()}/{jax.process_count()} "
@@ -351,6 +375,9 @@ def run(cfg: Config) -> Dict:
     # print window keeps the async dispatch pipeline full.
     total_loss = jnp.zeros((), jnp.float32)
     total_samp, total_iter = 0.0, 0
+    from ..utils.timing import queue_bound
+    cpu_qbound = queue_bound() \
+        if (mesh is not None and jax.default_backend() == "cpu") else 0
     t_window = time.time()
     train_ms = 0.0
     from ..data.loader import device_prefetch
@@ -390,6 +417,14 @@ def run(cfg: Config) -> Dict:
             total_loss = total_loss + m["loss"] * valid
             total_samp += valid
             total_iter += k_disp
+            if cpu_qbound and (i + 1) % cpu_qbound == 0:
+                # CPU test backend + mesh: bound the async queue of
+                # collective train dispatches (utils/timing.queue_bound —
+                # deep queues livelock the in-process collectives). Real
+                # TPU runs are untouched: the print-window sync is the
+                # only fence there.
+                from ..utils.timing import fence
+                fence(total_loss)
 
             eff_it = min(base_it + (i + 1) * k_disp, nbatches)
             should_print = (eff_it % cfg.print_freq < k_disp) \

@@ -60,6 +60,20 @@ def fence(*trees) -> float:
     return float(np.asarray(out.addressable_data(0)))
 
 
+def queue_bound() -> int:
+    """Max async dispatches to leave in flight between fences for SHARDED
+    programs. The CPU backend's in-process collectives LIVELOCK when the
+    queue of dispatched collective programs grows: device threads share
+    the host's cores, and with ~64+ queued 8-device programs (measured;
+    onset between 16 and 64 on a 1-core host) some participant never
+    reaches the rendezvous and the 40s watchdog aborts the process.
+    16 is safely under onset. Real TPU queues need bounding only as
+    memory backpressure — 256 keeps the fence cost negligible
+    (~7 value fetches per 1000 dispatches through the tunnel)."""
+    import jax
+    return 16 if jax.default_backend() == "cpu" else 256
+
+
 def timed_window(run_once, steps: int) -> float:
     """Time `steps` calls of `run_once` (which must return the call's
     output tree), fencing on the LAST output. Returns seconds."""
