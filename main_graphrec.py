@@ -265,7 +265,15 @@ def main(argv=None):
     # synthetic graph knobs
     p.add_argument("--synthetic_users", type=int, default=600)
     p.add_argument("--synthetic_items", type=int, default=1200)
+    p.add_argument("--force_platform", default="",
+                   help="jax platform override (e.g. cpu); the env-var "
+                        "route (JAX_PLATFORMS) is silently ignored by "
+                        "the TPU tunnel plugin — same knob as main.py")
     args = p.parse_args(argv)
+
+    if args.force_platform:
+        import jax
+        jax.config.update("jax_platforms", args.force_platform)
 
     if args.data_path:
         train_pos, n1 = load_gowalla_txt(osp.join(args.data_path,
