@@ -325,7 +325,15 @@ def run(cfg: Config) -> Dict:
     best_acc = 0.0
     skip_epoch, skip_batch = 0, 0
     if cfg.load_model:
-        state, extra = load_checkpoint(cfg.load_model, state)
+        load_path = cfg.load_model
+        if not osp.exists(load_path) and osp.exists(load_path + ".latest"):
+            # best-accuracy checkpoints only exist after a test event;
+            # crash-recovery restarts with the same --save_model path
+            # should pick up the rolling slot transparently
+            load_path = load_path + ".latest"
+            print(f"{cfg.load_model} not found; resuming from the "
+                  f"rolling checkpoint {load_path}", flush=True)
+        state, extra = load_checkpoint(load_path, state)
         best_acc = extra.get("test_acc", 0.0)
         skip_epoch = extra.get("epoch", 0)
         skip_batch = extra.get("iter", 0)

@@ -35,4 +35,12 @@ for case in "${CASES[@]}"; do
     echo "ok  [$name]"
   fi
 done
+
+# checkpoint save -> crash-recovery resume from the rolling slot
+CKPT=$(mktemp -d)/m
+out=$(timeout 300 python main.py $BASE --compress_method cafe --compress_rate 0.05 --save_model $CKPT --save_freq 8 2>&1) \
+  && out2=$(timeout 300 python main.py $BASE --nepochs 2 --compress_method cafe --compress_rate 0.05 --load_model $CKPT 2>&1) \
+  && echo "$out2" | grep -q "resuming from the rolling checkpoint" \
+  && echo "ok  [ckpt_rolling_resume]" \
+  || { FAILED=1; echo "FAIL[ckpt_rolling_resume]"; echo "$out2" | tail -6; }
 exit $FAILED
