@@ -43,4 +43,28 @@ out=$(timeout 300 python main.py $BASE --compress_method cafe --compress_rate 0.
   && echo "$out2" | grep -q "resuming from the rolling checkpoint" \
   && echo "ok  [ckpt_rolling_resume]" \
   || { FAILED=1; echo "FAIL[ckpt_rolling_resume]"; echo "$out2" | tail -6; }
+# raw criteo text -> preprocess CLI -> train from the binary dir
+E2E=$(mktemp -d)
+python - "$E2E" << 'EOF'
+import sys
+import numpy as np
+rng = np.random.default_rng(0)
+with open(sys.argv[1] + "/train.txt", "w") as f:
+    for _ in range(3000):
+        label = str(rng.integers(0, 2))
+        dense = [str(int(rng.integers(0, 9))) if rng.random() > 0.1 else ""
+                 for _ in range(13)]
+        cats = [format(int(rng.integers(0, 200)), "x")
+                if rng.random() > 0.05 else "" for _ in range(26)]
+        f.write("\t".join([label] + dense + cats) + "\n")
+EOF
+timeout 300 python -m cafe_tpu.data.preprocess --dataset criteo \
+    --input "$E2E/train.txt" --output "$E2E/bin" > /dev/null 2>&1 \
+  && timeout 300 python main.py --force_platform cpu --dataset criteo \
+    --data_path "$E2E/bin" --embedding_dim 8 --mini_batch_size 128 \
+    --nepochs 1 --print_freq 8 --test_freq 16 \
+    --compress_method cafe --compress_rate 0.1 > /dev/null 2>&1 \
+  && echo "ok  [raw_preprocess_train_e2e]" \
+  || { FAILED=1; echo "FAIL[raw_preprocess_train_e2e]"; }
+
 exit $FAILED
