@@ -118,7 +118,8 @@ class AdaPart(Part):
         slot-range-sharded pool + psum_scatter. O(batch) traffic."""
         from jax.sharding import PartitionSpec as P
         from ..parallel.embedding_parallel import shard_map
-        from ..parallel.exchange import _owner_rows, mesh_axes
+        from ..parallel.exchange import (_owner_rows, mesh_axes,
+                                         owner_lookup_cyclic)
 
         AXIS = mesh_axes(self.mesh)
         n = self.n_shards
@@ -127,13 +128,9 @@ class AdaPart(Part):
             b_l, f_l = gid_l.shape
             m = b_l * f_l
             me = jax.lax.axis_index(AXIS)
-            L = dic_l.shape[0]
             all_gid = jax.lax.all_gather(gid_l.reshape(m), AXIS,
                                          tiled=True)
-            mine = all_gid % n == me
-            loc = jnp.where(mine, all_gid // n, 0)
-            rows = jax.lax.psum(
-                jnp.where(mine, dic_l[jnp.clip(loc, 0, L - 1)], 0), AXIS)
+            rows = owner_lookup_cyclic(dic_l, all_gid, n, AXIS)
             out = jax.lax.psum_scatter(_owner_rows(w_l, rows, AXIS), AXIS,
                                        scatter_dimension=0, tiled=True)
             rows_me = jax.lax.dynamic_slice(rows, (me * m,), (m,))
@@ -366,7 +363,8 @@ class AdaPart(Part):
         from jax.sharding import PartitionSpec as P
         from ..ops.quantized import QuantizedTable, dequantize_rows
         from ..parallel.embedding_parallel import shard_map
-        from ..parallel.exchange import mesh_axes
+        from ..parallel.exchange import (mesh_axes, owner_lookup_cyclic,
+                                         owner_rows_with)
 
         AXIS = mesh_axes(self.mesh)
         n = self.n_shards
@@ -376,20 +374,12 @@ class AdaPart(Part):
         def f(codes, scale, zero, dic_l, gid_l):
             b_l, f_l = gid_l.shape
             m = b_l * f_l
-            me = jax.lax.axis_index(AXIS)
-            L = dic_l.shape[0]
             all_gid = jax.lax.all_gather(gid_l.reshape(m), AXIS,
                                          tiled=True)
-            mine = all_gid % n == me
-            loc = jnp.where(mine, all_gid // n, 0)
-            rows = jax.lax.psum(
-                jnp.where(mine, dic_l[jnp.clip(loc, 0, L - 1)], 0), AXIS)
-            rows_l = codes.shape[0]
-            wloc = rows - me * rows_l
-            wmine = (wloc >= 0) & (wloc < rows_l)
+            rows = owner_lookup_cyclic(dic_l, all_gid, n, AXIS)
             local = QuantizedTable(codes, scale, zero, bits)
-            vals = dequantize_rows(local, jnp.clip(wloc, 0, rows_l - 1))
-            vals = jnp.where(wmine[:, None], vals, 0)
+            vals = owner_rows_with(lambda i: dequantize_rows(local, i),
+                                   codes.shape[0], rows, AXIS)
             out = jax.lax.psum_scatter(vals, AXIS, scatter_dimension=0,
                                        tiled=True)
             return out.reshape(b_l, f_l, -1)

@@ -614,7 +614,8 @@ class OffPart(Part):
         psum_scattered back — O(batch) traffic, never O(vocab)."""
         from ..ops.quantized import QuantizedTable, dequantize_rows
         from ..parallel.embedding_parallel import shard_map
-        from ..parallel.exchange import mesh_axes, owner_lookup_1d
+        from ..parallel.exchange import (mesh_axes, owner_lookup_1d,
+                                         owner_rows_with)
         from jax.sharding import PartitionSpec as P
 
         ax = mesh_axes(self.mesh)
@@ -624,18 +625,14 @@ class OffPart(Part):
         def fwd(codes, scale, zero, hdic, ids_l, gid_l):
             b_l, f_l = ids_l.shape
             m = b_l * f_l
-            me = jax.lax.axis_index(ax)
             all_gid = jax.lax.all_gather(gid_l.reshape(m), ax, tiled=True)
             all_ids = jax.lax.all_gather(ids_l.reshape(m), ax, tiled=True)
             hd_all = owner_lookup_1d(hdic, all_gid, ax)
             row_all, _ = self._route(all_ids.reshape(-1, f_l),
                                      hd_all.reshape(-1, f_l))
-            rows_l = codes.shape[0]
-            loc = row_all.reshape(-1) - me * rows_l
-            mine = (loc >= 0) & (loc < rows_l)
             local = QuantizedTable(codes, scale, zero, bits)
-            vals = dequantize_rows(local, jnp.clip(loc, 0, rows_l - 1))
-            vals = jnp.where(mine[:, None], vals, 0)
+            vals = owner_rows_with(lambda i: dequantize_rows(local, i),
+                                   codes.shape[0], row_all.reshape(-1), ax)
             out = jax.lax.psum_scatter(vals, ax, scatter_dimension=0,
                                        tiled=True)
             return out.reshape(b_l, f_l, -1)

@@ -54,16 +54,23 @@ def mesh_axes(mesh) -> tuple:
     return tuple(mesh.axis_names)
 
 
+def owner_rows_with(fetch, rows_l: int, all_idx: jnp.ndarray,
+                    axes=AXIS) -> jnp.ndarray:
+    """`_owner_rows` with a caller-supplied local row fetch (plain
+    gather, int4/int8 dequantize, ...): fetch(local_idx [M]) -> [M, D];
+    lanes owned elsewhere come back zero (psum/psum_scatter-ready)."""
+    lo = jax.lax.axis_index(axes) * rows_l
+    loc = all_idx - lo
+    mine = (loc >= 0) & (loc < rows_l)
+    vals = fetch(jnp.clip(loc, 0, rows_l - 1))
+    return jnp.where(mine[:, None], vals, 0)
+
+
 def _owner_rows(tbl: jnp.ndarray, all_idx: jnp.ndarray,
                 axes=AXIS) -> jnp.ndarray:
     """Rows of `tbl` (this device's shard) for global row ids `all_idx`;
     zeros for rows owned elsewhere."""
-    rows_l = tbl.shape[0]
-    lo = jax.lax.axis_index(axes) * rows_l
-    loc = all_idx - lo
-    mine = (loc >= 0) & (loc < rows_l)
-    vals = tbl[jnp.clip(loc, 0, rows_l - 1)]
-    return jnp.where(mine[:, None], vals, 0)
+    return owner_rows_with(lambda i: tbl[i], tbl.shape[0], all_idx, axes)
 
 
 def _local_idx(rows_l: int, all_idx: jnp.ndarray,
@@ -85,6 +92,19 @@ def owner_lookup_1d(arr_l: jnp.ndarray, all_idx: jnp.ndarray,
     lo = jax.lax.axis_index(axes) * rows_l
     loc = all_idx - lo
     mine = (loc >= 0) & (loc < rows_l)
+    vals = arr_l[jnp.clip(loc, 0, rows_l - 1)]
+    return jax.lax.psum(jnp.where(mine, vals, 0), axes)
+
+
+def owner_lookup_cyclic(arr_l: jnp.ndarray, all_idx: jnp.ndarray, n: int,
+                        axes=AXIS) -> jnp.ndarray:
+    """CYCLIC-sharded 1-D lookup inside shard_map (owner = idx % n,
+    local position = idx // n — AdaPart's dic/grad_norm layout): one
+    owner per lane, psum publishes exactly."""
+    me = jax.lax.axis_index(axes)
+    rows_l = arr_l.shape[0]
+    mine = all_idx % n == me
+    loc = jnp.where(mine, all_idx // n, 0)
     vals = arr_l[jnp.clip(loc, 0, rows_l - 1)]
     return jax.lax.psum(jnp.where(mine, vals, 0), axes)
 

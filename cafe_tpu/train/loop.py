@@ -254,21 +254,22 @@ def run(cfg: Config) -> Dict:
         # the TPU tunnel plugin ignores JAX_PLATFORMS; the config knob is
         # authoritative (must land before first backend use)
         jax.config.update("jax_platforms", cfg.force_platform)
-        if cfg.force_platform == "cpu":
-            import os
-            flags = os.environ.get("XLA_FLAGS", "")
-            if "collective_call_terminate_timeout" not in flags:
-                # virtual CPU devices share the host's cores: a heavy
-                # sharded program can take minutes before every device
-                # thread reaches its first collective; the default
-                # 20s/40s rendezvous watchdog kills the (correct) run
-                os.environ["XLA_FLAGS"] = (
-                    flags +
-                    " --xla_cpu_collective_call_warn_stuck_timeout_seconds"
-                    "=300"
-                    " --xla_cpu_collective_call_terminate_timeout_seconds"
-                    "=1200"
-                    " --xla_cpu_collective_timeout_seconds=1200").strip()
+    import os
+    if "cpu" in (cfg.force_platform
+                 or os.environ.get("JAX_PLATFORMS", "")):
+        # effective-CPU run by EITHER route (--force_platform or the
+        # JAX_PLATFORMS env var): raise the collective watchdog before
+        # backend init. Virtual CPU devices share the host's cores: a
+        # heavy sharded program can take minutes before every device
+        # thread reaches its first collective; the default 20s/40s
+        # rendezvous watchdog kills the (correct) run.
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "collective_call_terminate_timeout" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags +
+                " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+                " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+                " --xla_cpu_collective_timeout_seconds=1200").strip()
     from ..parallel.mesh import maybe_init_distributed
     if maybe_init_distributed(cfg):
         print(f"process {jax.process_index()}/{jax.process_count()} "

@@ -135,6 +135,8 @@ class TestExplicitProductionPath:
                                                          mesh=mesh)
         sharded, st = shard_train_step(step, mesh, state,
                                        shard_embeddings=True)
+        self._last_model = model  # for serving-path tests; avoids a
+        # second build_all (a full second state at 2^22-row vocabs)
         return embed, sharded, st, eval_step, mesh
 
     def test_parts_activate_explicit_mode(self):
@@ -584,9 +586,7 @@ class TestExplicitProductionPath:
         from cafe_tpu.train.loop import get_dataset
         train = get_dataset(cfg, "train")
         embed, sharded, st, _, mesh = self._build_sharded(cfg, train)
-        from cafe_tpu.train.loop import build_all as _ba
-        model2, embed2, _, _, _ = _ba(cfg, train, mesh=mesh)
-        q8 = build_quantized_eval_step(model2, embed2, st, 8)
+        q8 = build_quantized_eval_step(self._last_model, embed, st, 8)
         dense, sparse, label, valid = next(iter(
             batch_iterator(train, 128, drop_last=True)))
         txt = q8.lower(st, jnp.asarray(dense),
@@ -782,9 +782,7 @@ class TestExplicitProductionPath:
         for dense, sparse, label, valid in batches:
             st, _ = sharded(st, jnp.asarray(dense), jnp.asarray(sparse),
                             jnp.asarray(label), jnp.asarray(valid))
-        from cafe_tpu.train.loop import build_all as _ba
-        model2, embed2, _, _, _ = _ba(cfg, train, mesh=mesh)
-        q8 = build_quantized_eval_step(model2, embed2, st, 8)
+        q8 = build_quantized_eval_step(self._last_model, embed, st, 8)
         dense, sparse, label, valid = batches[0]
         p_f = np.asarray(jax.device_get(
             ev(st, jnp.asarray(dense), jnp.asarray(sparse))))

@@ -4,7 +4,7 @@ against the single-process 8-device run, loss-for-loss. Too slow for the
 CI suite (4 coordinated subprocesses on CPU); run standalone:
     python tools/pod_shape_check.py
 """
-import os, re, subprocess, sys
+import os, re, subprocess, sys, threading
 import os.path as _osp
 REPO = _osp.dirname(_osp.dirname(_osp.abspath(__file__)))
 FLAGS = ["--dataset","synthetic","--synthetic_rows","8192",
@@ -22,11 +22,26 @@ def run(extra, ndev):
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
 procs = [run(["--dist_num_processes","4","--dist_process_id",str(i),
               "--dist_coordinator","localhost:12411"], 2) for i in range(4)]
-outs = []
-for p in procs:
-    out,_ = p.communicate(timeout=1500)
-    assert p.returncode == 0, out[-3000:]
-    outs.append(out)
+# drain every pipe CONCURRENTLY: the 4 processes are collectively
+# synchronized, so reading them one-by-one can deadlock once any writer
+# fills its ~64KB pipe buffer; and kill all children on any failure so a
+# re-run doesn't find the coordinator port held by orphans.
+outs = [None] * 4
+def _drain(i, p):
+    outs[i] = p.communicate()[0]
+threads = [threading.Thread(target=_drain, args=(i, p), daemon=True)
+           for i, p in enumerate(procs)]
+try:
+    for t in threads: t.start()
+    for t in threads: t.join(timeout=1500)
+    if any(t.is_alive() for t in threads):
+        raise TimeoutError("4-process run exceeded 1500s")
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+finally:
+    for p in procs:
+        if p.poll() is None:
+            p.kill()
 ref = run([], 8)
 ref_out,_ = ref.communicate(timeout=900)
 assert ref.returncode == 0, ref_out[-3000:]

@@ -1,8 +1,8 @@
 #!/bin/bash
-# CLI smoke matrix: tiny-shape end-to-end drives of flag combos the test
-# CLI smoke matrix (flat): tiny-shape end-to-end drives of flag combos.
+# CLI smoke matrix (flat): tiny-shape end-to-end drives of flag combos
+# the test suite doesn't cover through the CLI, plus checkpoint-resume
+# and raw-text->preprocess->train flows. Each case: name | extra flags.
 # Usage: bash tools/smoke_matrix.sh   (exits non-zero on any failure)
-# suite doesn't cover through the CLI. Each line: name | extra flags.
 cd "$(dirname "$0")/.."
 BASE="--force_platform cpu --dataset synthetic --synthetic_rows 2048 --synthetic_fields 4 --synthetic_vocab 5000 --embedding_dim 8 --mini_batch_size 128 --nepochs 1 --print_freq 8 --test_freq 0"
 declare -a CASES=(
