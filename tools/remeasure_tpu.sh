@@ -45,4 +45,7 @@ log "9/9 profile trace of the bench step (stage budget for the MFU work)"
 timeout 1800 python tools/profile_step.py --out "$OUT/profile" 2>&1 \
     | tee "$OUT/profile_top.txt"
 
+python tools/perf_report.py "$OUT" > /dev/null 2>&1 && \
+    log "digest written to $OUT/SUMMARY.md"
+
 log "done — artifacts in $OUT"
