@@ -67,6 +67,11 @@ def main(argv=None):
     from ..train.checkpoint import load_checkpoint
     from ..train.loop import build_all, get_dataset
     cfg = from_json(args.config_json)
+    if cfg.force_platform:
+        # same knob as main.py: the JAX_PLATFORMS env var is silently
+        # ignored by the TPU tunnel plugin
+        import jax
+        jax.config.update("jax_platforms", cfg.force_platform)
     train_data = get_dataset(cfg, "train")
     model, embed, state, _, _ = build_all(cfg, train_data)
     state, _ = load_checkpoint(args.checkpoint, state)

@@ -40,6 +40,11 @@ def load_tasks(config_file: str,
     for met in METHODS + extra:
         if met not in config:
             continue
+        if not isinstance(config[met], dict):
+            raise ValueError(
+                f"section {met!r} must be an object of flag overrides "
+                f"(see tasks/criteo.json), got "
+                f"{type(config[met]).__name__}")
         new_task = dict(base_args)
         flags = {}
         for k, v in config[met].items():
