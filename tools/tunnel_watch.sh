@@ -40,6 +40,16 @@ echo $$ > "$LOCK"
 log "tunnel watch started (pid $$)"
 while true; do
   if probe; then
+    # stop the CPU insurance grid (if one is running) so its host-side
+    # load can't bias the chip window's measurements; exact-PID kill
+    IPID_FILE="$OUT/.cpu_insurance_pid"
+    if [ -f "$IPID_FILE" ]; then
+      IPID=$(cat "$IPID_FILE" 2>/dev/null)
+      if [ -n "$IPID" ] && kill -0 "$IPID" 2>/dev/null; then
+        kill "$IPID" && log "killed CPU insurance grid (pid $IPID)"
+      fi
+      rm -f "$IPID_FILE"
+    fi
     log "tunnel is UP — launching remeasure_tpu.sh"
     env -u PYTHONPATH bash tools/remeasure_tpu.sh "$OUT" \
       >> "$OUT/watch.log" 2>&1
