@@ -95,6 +95,61 @@ class TestExplicitExchange:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
 
+    def test_owner_lookup_cyclic_oracle(self):
+        """Cyclic-sharded dic lookup (Ada layout) inside shard_map equals
+        a host permuted-array lookup."""
+        from jax.sharding import PartitionSpec as P
+        from cafe_tpu.parallel.embedding_parallel import shard_map
+        from cafe_tpu.parallel.exchange import owner_lookup_cyclic
+        mesh = make_mesh(8)
+        n, total = 8, 512
+        rng = np.random.default_rng(3)
+        arr = rng.integers(-50, 50, total).astype(np.int32)
+        # store[k] = arr[(k % L)*n + k // L]  (shard-major cyclic)
+        L = total // n
+        k = np.arange(total)
+        store = arr[(k % L) * n + k // L]
+        idx = rng.integers(0, total, 256).astype(np.int32)
+
+        def f(a_l, i_l):
+            all_i = jax.lax.all_gather(i_l, ("data",), tiled=True)
+            out = owner_lookup_cyclic(a_l, all_i, n, ("data",))
+            me = jax.lax.axis_index(("data",))
+            m = i_l.shape[0]
+            return jax.lax.dynamic_slice(out, (me * m,), (m,))
+
+        got = shard_map(f, mesh, in_specs=(P("data"), P("data")),
+                        out_specs=P("data"))(jnp.asarray(store),
+                                             jnp.asarray(idx))
+        np.testing.assert_array_equal(np.asarray(got), arr[idx])
+
+    def test_owner_rows_with_oracle(self):
+        """owner_rows_with + psum equals a plain global-table gather, for
+        both an identity fetch and a transforming fetch."""
+        from jax.sharding import PartitionSpec as P
+        from cafe_tpu.parallel.embedding_parallel import shard_map
+        from cafe_tpu.parallel.exchange import owner_rows_with
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(4)
+        table = rng.normal(0, 1, (512, 8)).astype(np.float32)
+        idx = rng.integers(0, 512, 128).astype(np.int32)
+
+        def f(t_l, i_l):
+            all_i = jax.lax.all_gather(i_l, ("data",), tiled=True)
+            rows = owner_rows_with(lambda j: 2.0 * t_l[j], t_l.shape[0],
+                                   all_i, ("data",))
+            out = jax.lax.psum(rows, ("data",))
+            me = jax.lax.axis_index(("data",))
+            m = i_l.shape[0]
+            return jax.lax.dynamic_slice(out, (me * m, 0),
+                                         (m, t_l.shape[1]))
+
+        got = shard_map(f, mesh, in_specs=(P("data", None), P("data")),
+                        out_specs=P("data", None))(jnp.asarray(table),
+                                                   jnp.asarray(idx))
+        np.testing.assert_allclose(np.asarray(got), 2.0 * table[idx],
+                                   atol=1e-6)
+
     def test_lookup_update_roundtrip(self):
         from cafe_tpu.parallel.embedding_parallel import (
             sharded_embedding_lookup_and_update)
