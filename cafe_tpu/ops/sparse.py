@@ -144,9 +144,23 @@ def init_slots(table: jnp.ndarray, optimizer: str) -> dict:
 
 
 def apply_rows(table: jnp.ndarray, slots: dict, idx: jnp.ndarray,
-               grad: jnp.ndarray, lr: float, optimizer: str):
+               grad: jnp.ndarray, lr: float, optimizer: str,
+               table_pass: bool | None = None):
     """Unified sparse row update: dispatch on optimizer with `slots` as
-    produced by init_slots. Returns (table, slots)."""
+    produced by init_slots. Returns (table, slots).
+
+    When the table is small relative to the update lane count (or
+    `table_pass=True`), the update runs as a scatter-free full-table pass
+    (ops/sorted_update.py) — XLA's TPU scatter serializes per lane, so at
+    e.g. 27k rows x 53k lanes the pass is ~10x faster. Semantics match
+    (coalesce-first optimizer math); duplicate-combining float order is
+    unspecified either way."""
+    if table_pass is None:
+        from .sorted_update import use_table_pass
+        table_pass = use_table_pass(table.shape[0], idx.shape[0])
+    if table_pass:
+        from .sorted_update import apply_rows_pass
+        return apply_rows_pass(table, slots, idx, grad, lr, optimizer)
     if optimizer == "adagrad":
         table, acc = sparse_adagrad(table, slots["acc"], idx, grad, lr)
         return table, {"acc": acc}

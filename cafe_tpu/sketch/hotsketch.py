@@ -193,6 +193,16 @@ def _prev(x: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
 
 
+def _sel(mat: jnp.ndarray, col: jnp.ndarray) -> jnp.ndarray:
+    """mat[i, col[i]] as an elementwise one-hot select. TPU profile
+    (docs/r4_measurements): XLA lowers take_along_axis on axis 1 to a
+    per-row serial gather (~440 us for [53k, 4]); the select over the C=4
+    columns is pure VPU work (~5 us)."""
+    c = mat.shape[1]
+    oh = col[:, None] == jnp.arange(c, dtype=col.dtype)[None, :]
+    return jnp.sum(jnp.where(oh, mat, 0), axis=1)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
                   ids: jnp.ndarray, scores: jnp.ndarray,
@@ -218,23 +228,29 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
         sum monotone, so segment ends broadcast with one cummax);
       * the per-bucket new-id winner is simply the first unmatched group
         in each bucket segment (one cummax, no claim scatters);
-      * matched accumulation + winner placement share ONE scatter-add;
-        placement writes ONE val scatter (unique indices by construction);
+      * matched accumulation + winner placement writes are SCATTER-FREE
+        (round 4): a sorted-segment range table (ops/sorted_update.
+        row_ranges) locates each bucket's lane segment, cnt adds come
+        from prefix-sum diffs, and val/dic set-writes (<=1 contributor
+        per (bucket, cell)) gather their contributor lane's payload via
+        contributor_pos_to_rows — one elementwise pass over the [S, C]
+        arrays instead of per-lane serial scatters;
       * promotion applies to MATCHED cells whose post-add count crosses
         the threshold — the reference's exact rule (sketch.cpp:113-118
         checks after incrementing the inserted id; brand-new placements
-        never promote on the call that placed them). Candidates compact
-        to PROMO_LANES before slot allocation, so the alloc/dic writes and
-        the returned InsertResult are O(PROMO_LANES), not O(B*cells).
-        Overflow candidates keep their counts and promote on a later
-        touch (lossless, same mechanism the sharded cap uses);
+        never promote on the call that placed them). Slots allocate by
+        candidate rank over full lanes, capped at PROMO_LANES; overflow
+        candidates keep their counts and promote on a later touch
+        (lossless, same mechanism the sharded cap uses);
       * round 2 re-tries the losing new-id groups (distinct ids that lost
-        the bucket race) compacted to PROMO_LANES lanes: pure placement —
-        pre-merged duplicates can never match round 1's placements.
+        the bucket race) compacted to PROMO_LANES lanes via searchsorted
+        (compact_positions): pure placement — pre-merged duplicates can
+        never match round 1's placements.
 
-    Net: 3 scatters + 3 gathers at B lanes, everything else at
-    PROMO_LANES lanes or elementwise — ~5x faster than the claim-scatter
-    design at Criteo bench shapes, bit-equal semantics.
+    Net: zero scatters; a handful of row gathers, cumulative scans, and
+    two sorts (the main (bucket, id) sort + row_ranges' merge sort), plus
+    one elementwise pass over the sketch arrays. Semantics identical to
+    the scatter form (same promotion order, same slot assignment).
     """
     b = ids.shape[0]
     s, c = cfg.buckets, cfg.cells
@@ -280,8 +296,8 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     m = occ & (bv == id_s[:, None])
     cell_m = jnp.argmax(m, axis=1)
     matched = m.any(axis=1) & rep
-    bc_m = jnp.take_along_axis(bc, cell_m[:, None], 1)[:, 0]
-    bd_m = jnp.take_along_axis(bd, cell_m[:, None], 1)[:, 0]
+    bc_m = _sel(bc, cell_m)
+    bd_m = _sel(bd, cell_m)
 
     # ---- per-bucket winner among new-id groups: first unmatched rep in
     # each bucket segment (h_s is non-decreasing -> cummax is segment-max)
@@ -292,22 +308,15 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     has_empty = (~occ).any(axis=1)
     cell_e = jnp.argmax(~occ, axis=1)
     cell_v = jnp.argmin(bc, axis=1)
-    bd_v = jnp.take_along_axis(bd, cell_v[:, None], 1)[:, 0]
+    bd_v = _sel(bd, cell_v)
     use_cell = jnp.where(has_empty, cell_e, cell_v)
     placed = winner & (has_empty | (bd_v == 0))
 
-    # ---- ONE scatter-add: matched accumulation + winner placement score.
-    # A winner evicting a cell that also matched this batch inherits the
-    # matched group's contribution too (same as the claim-scatter design).
+    # ---- matched accumulation + winner placement score share one
+    # "write": a winner evicting a cell that also matched this batch
+    # inherits the matched group's contribution too.
     act = matched | placed
     tgt_cell = jnp.where(matched, cell_m, use_cell)
-    cnt = cnt.at[jnp.where(act, h_s, sp), tgt_cell].add(
-        jnp.where(act, gtot, 0.0), mode="drop")
-    # ---- ONE val scatter: placements (unique (bucket, cell) lanes).
-    # Empty cells carry cnt == 0 by invariant (init zeros; demote/revert
-    # keep counts; evictions overwrite occupied cells), so no cnt reset.
-    val = val.at[jnp.where(placed, h_s, sp), use_cell].set(
-        id_s, mode="drop")
 
     # ---- promotion: matched cells crossing the threshold. Exclude cells
     # a placement evicts THIS call (their val now holds the winner's id);
@@ -319,13 +328,48 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     evicted = ((fwd == h_s * 8 + cell_m) | (rev == h_s * 8 + cell_m))
     cand = matched & (bc_m + gtot >= k) & (bd_m == 0) & ~evicted
 
-    ordp = jnp.argsort(~cand, stable=True)[:pl]
-    p_h = h_s[ordp]
-    p_cell = cell_m[ordp]
-    p_id = id_s[ordp]
-    p_c = cand[ordp]
-    slot, got, free_top = alloc_slots(free, free_top, p_c)
-    dic = dic.at[jnp.where(got, p_h, sp), p_cell].set(slot, mode="drop")
+    # ---- ALL cell writes are scatter-free (round-4 rework; XLA's TPU
+    # scatter serializes per lane): one sorted-segment range table
+    # row_ranges(h_s) locates each bucket's lane segment, then
+    #   * cnt += prefix-sum DIFF of the per-cell contributions (empty
+    #     segments diff to exactly 0, so the empty-cell cnt==0 invariant
+    #     is exact; occupied sums carry the usual running-sum rounding,
+    #     the same numeric class as gtot's cummax trick above);
+    #   * val/dic set-writes (<=1 contributor per (bucket, cell)) locate
+    #     their contributor lane with contributor_pos_to_rows and gather
+    #     the payload — exact.
+    # Slot allocation runs over full lanes by candidate rank (identical
+    # slot order to the old compact-then-alloc), capped at PROMO_LANES;
+    # the InsertResult compacts with searchsorted, not argsort.
+    from ..ops.sorted_update import (compact_positions,
+                                     contributor_pos_to_rows, gather_1d,
+                                     row_ranges, segment_sum_to_rows)
+    cells = jnp.arange(c, dtype=jnp.int32)
+    lo, hi = row_ranges(h_s, s)
+
+    contrib = jnp.where(act[:, None] & (tgt_cell[:, None] == cells),
+                        gtot[:, None], 0.0)
+    cnt_rows = cnt[:s] + segment_sum_to_rows(contrib, lo, hi)
+
+    mask_pv = placed[:, None] & (use_cell[:, None] == cells)
+    pos_v, pres_v = contributor_pos_to_rows(mask_pv, lo, hi)
+    val_rows = jnp.where(pres_v, gather_1d(id_s, pos_v), val[:s])
+
+    # slot allocation: candidate rank r gets free[free_top - r] (the same
+    # lane-order slot assignment as the old compact-then-alloc_slots)
+    rank = jnp.cumsum(cand.astype(jnp.int32))
+    bound = jnp.minimum(free_top, pl)
+    got = cand & (rank <= bound)
+    ft0 = free_top
+    free_top = free_top - jnp.minimum(rank[-1], bound)
+
+    mask_pd = got[:, None] & (cell_m[:, None] == cells)
+    pos_d, pres_d = contributor_pos_to_rows(mask_pd, lo, hi)
+    # the contributor LANE's rank indexes the free stack
+    rank_d = gather_1d(rank, pos_d)
+    slot_rows = gather_1d(free, jnp.clip(ft0 - rank_d, 0,
+                                         free.shape[0] - 1))
+    dic_rows = jnp.where(pres_d, slot_rows, dic[:s])
 
     # ---- round 2: losing new-id groups retry (post-placement state).
     # Pre-merged duplicates can never match (round-1 placements hold
@@ -334,35 +378,51 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     # FIRST, so round-2 evictions respect freshly promoted cells' slots.
     if cfg.insert_rounds > 1:
         loser = un & ~winner
-        ordl = jnp.argsort(~loser, stable=True)[:pl]
-        l_h = h_s[ordl]
-        l_hsafe = jnp.minimum(l_h, sp - 1)
-        l_id = id_s[ordl]
-        l_g = gtot[ordl]
-        l_m = loser[ordl]
-        bc2 = cnt[l_hsafe]
+        posl, l_valid = compact_positions(loser, pl)
+        l_h = jnp.where(l_valid, h_s[posl], s)
+        l_hsafe = jnp.minimum(l_h, s - 1)
+        l_id = id_s[posl]
+        l_g = gtot[posl]
+        bc2 = cnt_rows[l_hsafe]
         occ2 = bc2 > 0.0
-        bd2 = dic[l_hsafe]
-        prev_l_bucket = _prev(jax.lax.cummax(jnp.where(l_m, l_h, -1)), -1)
-        winner2 = l_m & (prev_l_bucket != l_h)
+        bd2 = dic_rows[l_hsafe]
+        prev_l_bucket = _prev(jax.lax.cummax(jnp.where(l_valid, l_h, -1)),
+                              -1)
+        winner2 = l_valid & (prev_l_bucket != l_h)
         has_e2 = (~occ2).any(axis=1)
         cell_e2 = jnp.argmax(~occ2, axis=1)
         cell_v2 = jnp.argmin(bc2, axis=1)
-        bd_v2 = jnp.take_along_axis(bd2, cell_v2[:, None], 1)[:, 0]
+        bd_v2 = _sel(bd2, cell_v2)
         use2 = jnp.where(has_e2, cell_e2, cell_v2)
         placed2 = winner2 & (has_e2 | (bd_v2 == 0))
-        hw2 = jnp.where(placed2, l_h, sp)
-        cnt = cnt.at[hw2, use2].add(jnp.where(placed2, l_g, 0.0),
-                                    mode="drop")
-        val = val.at[hw2, use2].set(l_id, mode="drop")
+        lo2, hi2 = row_ranges(l_h, s)
+        contrib2 = jnp.where(placed2[:, None] & (use2[:, None] == cells),
+                             l_g[:, None], 0.0)
+        cnt_rows = cnt_rows + segment_sum_to_rows(contrib2, lo2, hi2)
+        mask_p2 = placed2[:, None] & (use2[:, None] == cells)
+        pos2, pres2 = contributor_pos_to_rows(mask_p2, lo2, hi2)
+        val_rows = jnp.where(pres2, gather_1d(l_id, pos2), val_rows)
+
+    cnt = jnp.concatenate([cnt_rows, cnt[s:]], axis=0)
+    val = jnp.concatenate([val_rows, val[s:]], axis=0)
+    dic = jnp.concatenate([dic_rows, dic[s:]], axis=0)
+
+    # ---- compact the promotion report (ids/slots for migration)
+    posp, presp = compact_positions(got, pl)
+    p_id = id_s[posp]
+    p_h = h_s[posp]
+    p_cell = cell_m[posp]
+    r_c = rank[posp]
+    slot = jnp.where(presp, gather_1d(
+        free, jnp.clip(ft0 - r_c, 0, free.shape[0] - 1)), 0)
 
     new_state = HotSketchState(
         val=val, cnt=cnt, dic=dic, free=free, free_top=free_top,
         tot=state.tot + scores.sum(),
     )
     res = InsertResult(
-        ids=jnp.where(got, p_id, INVALID_ID),
-        slots=slot, mask=got, bucket=p_h, cell=p_cell)
+        ids=jnp.where(presp, p_id, INVALID_ID),
+        slots=slot, mask=presp, bucket=p_h, cell=p_cell)
     return new_state, res
 
 
