@@ -105,15 +105,29 @@ def _bucket_of(cfg: HotSketchConfig, ids: jnp.ndarray) -> jnp.ndarray:
     return (h % jnp.uint32(cfg.buckets)).astype(jnp.int32)
 
 
+def _pack_cells(val: jnp.ndarray, cnt: jnp.ndarray,
+                dic: jnp.ndarray) -> jnp.ndarray:
+    """[R, 3C] int32 view (val | cnt bits | dic) for ONE wide-row gather.
+    TPU profile (tools/profile_lines.py): a B-lane gather of 16-byte rows
+    costs ~80 us while 48-byte rows gather at ~20 us — the per-ROW cost
+    dominates, so three narrow gathers are ~4x the one packed gather. The
+    pack itself is a [R, 3C] elementwise pass (~2 us). cnt >= 0 always,
+    so its f32 bit pattern is order-isomorphic and sign-safe as int32."""
+    return jnp.concatenate(
+        [val, jax.lax.bitcast_convert_type(cnt, jnp.int32), dic], axis=1)
+
+
 def query_cells(cfg: HotSketchConfig, val: jnp.ndarray, cnt: jnp.ndarray,
                 dic: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """Query against raw cell arrays (shard-local slices use this inside
     shard_map where no full HotSketchState exists)."""
+    c = val.shape[1]
     h = _bucket_of(cfg, ids)
-    bv = val[h]                          # [B, C]
-    bc = cnt[h]
-    bd = dic[h]
-    m = (bc > 0) & (bv == ids[:, None]) & (bd != 0)
+    prow = _pack_cells(val, cnt, dic)[h]   # [B, 3C] one wide-row gather
+    bv = prow[:, :c]
+    bcbits = prow[:, c:2 * c]              # cnt > 0 <=> bits > 0 (cnt >= 0)
+    bd = prow[:, 2 * c:]
+    m = (bcbits > 0) & (bv == ids[:, None]) & (bd != 0)
     slot = jnp.max(jnp.where(m, bd, 0), axis=1)
     return jnp.where(slot > 0, -slot, ids)
 
@@ -193,16 +207,6 @@ def _prev(x: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
 
 
-def _sel(mat: jnp.ndarray, col: jnp.ndarray) -> jnp.ndarray:
-    """mat[i, col[i]] as an elementwise one-hot select. TPU profile
-    (docs/r4_measurements): XLA lowers take_along_axis on axis 1 to a
-    per-row serial gather (~440 us for [53k, 4]); the select over the C=4
-    columns is pure VPU work (~5 us)."""
-    c = mat.shape[1]
-    oh = col[:, None] == jnp.arange(c, dtype=col.dtype)[None, :]
-    return jnp.sum(jnp.where(oh, mat, 0), axis=1)
-
-
 @functools.partial(jax.jit, static_argnums=0)
 def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
                   ids: jnp.ndarray, scores: jnp.ndarray,
@@ -215,42 +219,49 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     Equivalent to the reference's batch_insert_val loop
     (sketch.cpp:142-150).
 
-    Why sorted: XLA lowers TPU scatters to per-lane serial loops, so the
-    cost of an insert is (#scatter ops) x (#lanes) — measured ~0.5 ms per
-    53k-lane scatter on v5e regardless of payload width. An earlier design
-    used min-claim scatters to pick per-bucket writers and a [B*cells]
-    promotion sweep: ~33 scatter/gather ops = 12.5 ms/insert on the honest
-    clock. One sort by (bucket, id) replaces ALL coordination scatters
-    with elementwise neighbor logic + a few cumulative scans:
+    Why sorted: on this hardware EVERY scatter/segment-reduction runs a
+    serial per-lane loop (~250-400 us at 53k lanes regardless of payload
+    width — tools/profile_lines.py), while wide-row gathers, sorts, and
+    1-D scans are fast vectorized ops. The design therefore (a) sorts the
+    batch by (bucket, id) once so all coordination becomes neighbor logic
+    and cumulative scans, and (b) funnels EVERYTHING that must land on
+    the [S, C] arrays through exactly ONE B-lane segment reduction:
 
       * duplicate (bucket, id) lanes become contiguous groups; group score
         totals come from cumsum differences (scores >= 0 keeps the running
         sum monotone, so segment ends broadcast with one cummax);
-      * the per-bucket new-id winner is simply the first unmatched group
-        in each bucket segment (one cummax, no claim scatters);
-      * matched accumulation + winner placement writes are SCATTER-FREE
-        (round 4): a sorted-segment range table (ops/sorted_update.
-        row_ranges) locates each bucket's lane segment, cnt adds come
-        from prefix-sum diffs, and val/dic set-writes (<=1 contributor
-        per (bucket, cell)) gather their contributor lane's payload via
-        contributor_pos_to_rows — one elementwise pass over the [S, C]
-        arrays instead of per-lane serial scatters;
+      * the bucket's cells are read with ONE wide-row gather of the packed
+        [S, 3C] (val | cnt bits | dic) view (_pack_cells);
+      * the per-bucket new-id winner is the first unmatched group in each
+        bucket segment (one cummax); its victim cell EXCLUDES cells that
+        matched this batch (their set broadcasts per bucket as a C-bit
+        mask via two more scans), so every (bucket, cell) has AT MOST ONE
+        writer this call — matched cells get their own group's
+        accumulation, the placed cell gets the winner;
+      * with <=1 writer per cell, each writer encodes the ABSOLUTE new
+        (val, cnt) payload — cnt as its order-isomorphic non-negative f32
+        bit pattern — and ONE sorted segment-max over the packed [B, 2C]
+        encoding (-1 = no write) lands the whole update (ops/
+        sorted_update.seg_max);
       * promotion applies to MATCHED cells whose post-add count crosses
         the threshold — the reference's exact rule (sketch.cpp:113-118
         checks after incrementing the inserted id; brand-new placements
-        never promote on the call that placed them). Slots allocate by
-        candidate rank over full lanes, capped at PROMO_LANES; overflow
-        candidates keep their counts and promote on a later touch
-        (lossless, same mechanism the sharded cap uses);
+        never promote on the call that placed them). Promotions compact
+        to PROMO_LANES by one stable argsort; slots, the dic update (a
+        tiny PROMO_LANES-lane segment-max), and the migration report all
+        run at PROMO_LANES, never B. Overflow candidates keep their
+        counts and promote on a later touch (lossless, same mechanism
+        the sharded cap uses);
       * round 2 re-tries the losing new-id groups (distinct ids that lost
-        the bucket race) compacted to PROMO_LANES lanes via searchsorted
-        (compact_positions): pure placement — pre-merged duplicates can
-        never match round 1's placements.
+        the bucket race) compacted to PROMO_LANES lanes the same way:
+        pure placement against the materialized round-1 arrays —
+        pre-merged duplicates can never match round 1's placements.
 
-    Net: zero scatters; a handful of row gathers, cumulative scans, and
-    two sorts (the main (bucket, id) sort + row_ranges' merge sort), plus
-    one elementwise pass over the sketch arrays. Semantics identical to
-    the scatter form (same promotion order, same slot assignment).
+    Semantic canonicalization vs the sequential C++ (documented, tested
+    statistically): the eviction victim is the min-count UNMATCHED
+    unprotected cell; a bucket whose cells all matched or hold slots
+    defers the newcomer to a later batch (rare: needs C simultaneous
+    distinct matches in one bucket in one batch).
     """
     b = ids.shape[0]
     s, c = cfg.buckets, cfg.cells
@@ -288,16 +299,33 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     pe = _prev(jax.lax.cummax(jnp.where(rep, cs, 0.0)), 0.0)
     gtot = cs - pe  # valid at rep lanes
 
-    # ---- match against existing cells (pre-call state)
-    bv = val[hsafe]                      # [B, C]
-    bc = cnt[hsafe]
-    bd = dic[hsafe]
+    # ---- match against existing cells: ONE packed wide-row gather
+    from ..ops.sorted_update import compact_mask, seg_max
+    cells = jnp.arange(c, dtype=jnp.int32)
+    prow = _pack_cells(val, cnt, dic)[hsafe]     # [B, 3C]
+    bv = prow[:, :c]
+    bc = jax.lax.bitcast_convert_type(prow[:, c:2 * c], jnp.float32)
+    bd = prow[:, 2 * c:]
     occ = bc > 0.0
     m = occ & (bv == id_s[:, None])
     cell_m = jnp.argmax(m, axis=1)
     matched = m.any(axis=1) & rep
-    bc_m = _sel(bc, cell_m)
-    bd_m = _sel(bd, cell_m)
+    bc_m = jnp.sum(jnp.where(m, bc, 0.0), axis=1)
+    bd_m = jnp.sum(jnp.where(m, bd, 0), axis=1)
+
+    # ---- per-bucket matched-cell bitmask (broadcast over the bucket's
+    # lane segment with two scans: cumsum of the <=1-per-cell bit
+    # contributions is monotone, so segment start/end broadcast with a
+    # prefix cummax / suffix cummin)
+    nxt_h = jnp.concatenate([h_s[1:], jnp.full((1,), -1, h_s.dtype)])
+    rep_b = ok & (h_s != nxt_h)          # last lane of each bucket
+    mbits = jnp.where(matched, jnp.int32(1) << cell_m, 0)
+    csb = jnp.cumsum(mbits)
+    start_b = _prev(jax.lax.cummax(jnp.where(rep_b, csb, 0)), 0)
+    end_b = jax.lax.cummin(jnp.where(rep_b, csb, jnp.int32(2**31 - 1)),
+                           reverse=True)
+    bucket_mbits = end_b - start_b       # C-bit mask of matched cells
+    cell_is_matched = ((bucket_mbits[:, None] >> cells) & 1) > 0
 
     # ---- per-bucket winner among new-id groups: first unmatched rep in
     # each bucket segment (h_s is non-decreasing -> cummax is segment-max)
@@ -305,116 +333,112 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     prev_un_bucket = _prev(jax.lax.cummax(jnp.where(un, h_s, -1)), -1)
     winner = un & (prev_un_bucket != h_s)
 
+    # victim: min-count cell among UNMATCHED unprotected occupied cells
+    # (matched exclusion makes every (bucket, cell) single-writer; see
+    # docstring). Empty cells are taken first, as in sketch.cpp:110-112.
     has_empty = (~occ).any(axis=1)
     cell_e = jnp.argmax(~occ, axis=1)
-    cell_v = jnp.argmin(bc, axis=1)
-    bd_v = _sel(bd, cell_v)
+    evictable = occ & (bd == 0) & ~cell_is_matched
+    bc_vic = jnp.where(evictable, bc, jnp.inf)
+    cell_v = jnp.argmin(bc_vic, axis=1)
+    can_evict = jnp.isfinite(jnp.min(bc_vic, axis=1))
     use_cell = jnp.where(has_empty, cell_e, cell_v)
-    placed = winner & (has_empty | (bd_v == 0))
+    placed = winner & (has_empty | can_evict)
+    # the victim's count (0 for empty cells by invariant) is inherited —
+    # Space-Saving eviction, sketch.cpp:113-124
+    bc_u = jnp.sum(jnp.where(use_cell[:, None] == cells, bc, 0.0), axis=1)
+    place_cnt = bc_u + gtot
 
-    # ---- matched accumulation + winner placement score share one
-    # "write": a winner evicting a cell that also matched this batch
-    # inherits the matched group's contribution too.
-    act = matched | placed
-    tgt_cell = jnp.where(matched, cell_m, use_cell)
-
-    # ---- promotion: matched cells crossing the threshold. Exclude cells
-    # a placement evicts THIS call (their val now holds the winner's id);
-    # <=1 placement per bucket, broadcast (bucket, cell) both directions.
-    pk = jnp.where(placed, h_s * 8 + tgt_cell, -1)
-    fwd = jax.lax.cummax(pk)
-    rev = jax.lax.cummin(jnp.where(placed, h_s * 8 + tgt_cell, 2**30),
-                         reverse=True)
-    evicted = ((fwd == h_s * 8 + cell_m) | (rev == h_s * 8 + cell_m))
-    cand = matched & (bc_m + gtot >= k) & (bd_m == 0) & ~evicted
-
-    # ---- ALL cell writes are scatter-free (round-4 rework; XLA's TPU
-    # scatter serializes per lane): one sorted-segment range table
-    # row_ranges(h_s) locates each bucket's lane segment, then
-    #   * cnt += prefix-sum DIFF of the per-cell contributions (empty
-    #     segments diff to exactly 0, so the empty-cell cnt==0 invariant
-    #     is exact; occupied sums carry the usual running-sum rounding,
-    #     the same numeric class as gtot's cummax trick above);
-    #   * val/dic set-writes (<=1 contributor per (bucket, cell)) locate
-    #     their contributor lane with contributor_pos_to_rows and gather
-    #     the payload — exact.
-    # Slot allocation runs over full lanes by candidate rank (identical
-    # slot order to the old compact-then-alloc), capped at PROMO_LANES;
-    # the InsertResult compacts with searchsorted, not argsort.
-    from ..ops.sorted_update import (compact_positions,
-                                     contributor_pos_to_rows, gather_1d,
-                                     row_ranges, segment_sum_to_rows)
-    cells = jnp.arange(c, dtype=jnp.int32)
-    lo, hi = row_ranges(h_s, s)
-
-    contrib = jnp.where(act[:, None] & (tgt_cell[:, None] == cells),
-                        gtot[:, None], 0.0)
-    cnt_rows = cnt[:s] + segment_sum_to_rows(contrib, lo, hi)
-
-    mask_pv = placed[:, None] & (use_cell[:, None] == cells)
-    pos_v, pres_v = contributor_pos_to_rows(mask_pv, lo, hi)
-    val_rows = jnp.where(pres_v, gather_1d(id_s, pos_v), val[:s])
-
-    # slot allocation: candidate rank r gets free[free_top - r] (the same
-    # lane-order slot assignment as the old compact-then-alloc_slots)
+    # ---- promotion: matched cells crossing the threshold (placements
+    # never target matched cells now, so no evicted-cell exclusion).
+    # Slot rank runs over full lanes (cheap cumsum); the actual free-list
+    # gather and dic write run at PROMO_LANES below.
+    cand = matched & (bc_m + gtot >= k) & (bd_m == 0)
     rank = jnp.cumsum(cand.astype(jnp.int32))
     bound = jnp.minimum(free_top, pl)
     got = cand & (rank <= bound)
     ft0 = free_top
     free_top = free_top - jnp.minimum(rank[-1], bound)
 
-    mask_pd = got[:, None] & (cell_m[:, None] == cells)
-    pos_d, pres_d = contributor_pos_to_rows(mask_pd, lo, hi)
-    # the contributor LANE's rank indexes the free stack
-    rank_d = gather_1d(rank, pos_d)
-    slot_rows = gather_1d(free, jnp.clip(ft0 - rank_d, 0,
-                                         free.shape[0] - 1))
-    dic_rows = jnp.where(pres_d, slot_rows, dic[:s])
+    # ---- THE B-lane segment reduction: every writer encodes its cell's
+    # ABSOLUTE new (val, cnt) — cnt as non-negative f32 bits, which are
+    # order-isomorphic int32 — and one sorted segment-max lands the call's
+    # whole [S, C] update (-1 = no write; <=1 writer per cell).
+    mask_w = (m & matched[:, None]) | (placed[:, None]
+                                       & (use_cell[:, None] == cells))
+    cnt_new = jnp.where(matched, bc_m + gtot, place_cnt)
+    cnt_bits = jax.lax.bitcast_convert_type(
+        cnt_new.astype(jnp.float32), jnp.int32)
+    enc = jnp.concatenate(
+        [jnp.where(placed[:, None] & (use_cell[:, None] == cells),
+                   id_s[:, None], -1),
+         jnp.where(mask_w, cnt_bits[:, None], -1)], axis=1)
+    mx = seg_max(enc, h_s, s)                            # [S, 2C]
+    val_rows = jnp.where(mx[:, :c] >= 0, mx[:, :c], val[:s])
+    cnt_rows = jnp.where(
+        mx[:, c:] >= 0,
+        jax.lax.bitcast_convert_type(mx[:, c:], jnp.float32), cnt[:s])
 
-    # ---- round 2: losing new-id groups retry (post-placement state).
-    # Pre-merged duplicates can never match (round-1 placements hold
-    # OTHER ids), so this is pure placement; freshly placed cells never
-    # promote (sketch.cpp:113-118), so no promotion leg. Promotion ran
-    # FIRST, so round-2 evictions respect freshly promoted cells' slots.
+    # ---- compact the promotion report; slots + dic update at PROMO_LANES
+    posp, presp = compact_mask(got, pl)
+    p_id = id_s[posp]
+    p_h = jnp.where(presp, h_s[posp], s)
+    p_cell = cell_m[posp]
+    r_c = rank[posp]
+    slot = jnp.where(presp, free[jnp.clip(ft0 - r_c, 0,
+                                          free.shape[0] - 1)], 0)
+    dic_enc = jnp.where(presp[:, None] & (p_cell[:, None] == cells),
+                        slot[:, None], -1)
+    dmx = seg_max(dic_enc, p_h, s)                       # tiny: pl lanes
+    dic_rows = jnp.where(dmx >= 0, dmx, dic[:s])
+
+    # ---- round 2: losing new-id groups retry against the MATERIALIZED
+    # round-1 arrays (pure placement; pre-merged duplicates can never
+    # match round-1 placements, which hold OTHER ids; freshly placed
+    # cells never promote, sketch.cpp:113-118). Round-2 may evict a
+    # round-1-matched cell — its post-add count is inherited, standard
+    # Space-Saving; round-1 promotions are respected via dic_rows.
     if cfg.insert_rounds > 1:
         loser = un & ~winner
-        posl, l_valid = compact_positions(loser, pl)
+        posl, l_valid = compact_mask(loser, pl)
         l_h = jnp.where(l_valid, h_s[posl], s)
         l_hsafe = jnp.minimum(l_h, s - 1)
         l_id = id_s[posl]
         l_g = gtot[posl]
-        bc2 = cnt_rows[l_hsafe]
+        prow2 = _pack_cells(val_rows, cnt_rows, dic_rows)[l_hsafe]
+        bc2 = jax.lax.bitcast_convert_type(prow2[:, c:2 * c], jnp.float32)
+        bd2 = prow2[:, 2 * c:]
         occ2 = bc2 > 0.0
-        bd2 = dic_rows[l_hsafe]
         prev_l_bucket = _prev(jax.lax.cummax(jnp.where(l_valid, l_h, -1)),
                               -1)
         winner2 = l_valid & (prev_l_bucket != l_h)
         has_e2 = (~occ2).any(axis=1)
         cell_e2 = jnp.argmax(~occ2, axis=1)
-        cell_v2 = jnp.argmin(bc2, axis=1)
-        bd_v2 = _sel(bd2, cell_v2)
+        bc_vic2 = jnp.where(occ2 & (bd2 == 0), bc2, jnp.inf)
+        cell_v2 = jnp.argmin(bc_vic2, axis=1)
+        can_e2 = jnp.isfinite(jnp.min(bc_vic2, axis=1))
         use2 = jnp.where(has_e2, cell_e2, cell_v2)
-        placed2 = winner2 & (has_e2 | (bd_v2 == 0))
-        lo2, hi2 = row_ranges(l_h, s)
-        contrib2 = jnp.where(placed2[:, None] & (use2[:, None] == cells),
-                             l_g[:, None], 0.0)
-        cnt_rows = cnt_rows + segment_sum_to_rows(contrib2, lo2, hi2)
+        placed2 = winner2 & (has_e2 | can_e2)
+        bc_u2 = jnp.sum(jnp.where(use2[:, None] == cells, bc2, 0.0),
+                        axis=1)
+        # compact_mask keeps lane order, so l_h is non-decreasing over
+        # valid lanes and sentinel s on the rest — sorted for seg_max
         mask_p2 = placed2[:, None] & (use2[:, None] == cells)
-        pos2, pres2 = contributor_pos_to_rows(mask_p2, lo2, hi2)
-        val_rows = jnp.where(pres2, gather_1d(l_id, pos2), val_rows)
+        cb2 = jax.lax.bitcast_convert_type(
+            (bc_u2 + l_g).astype(jnp.float32), jnp.int32)
+        enc2 = jnp.concatenate(
+            [jnp.where(mask_p2, l_id[:, None], -1),
+             jnp.where(mask_p2, cb2[:, None], -1)], axis=1)
+        mx2 = seg_max(enc2, l_h, s)
+        val_rows = jnp.where(mx2[:, :c] >= 0, mx2[:, :c], val_rows)
+        cnt_rows = jnp.where(
+            mx2[:, c:] >= 0,
+            jax.lax.bitcast_convert_type(mx2[:, c:], jnp.float32),
+            cnt_rows)
 
     cnt = jnp.concatenate([cnt_rows, cnt[s:]], axis=0)
     val = jnp.concatenate([val_rows, val[s:]], axis=0)
     dic = jnp.concatenate([dic_rows, dic[s:]], axis=0)
-
-    # ---- compact the promotion report (ids/slots for migration)
-    posp, presp = compact_positions(got, pl)
-    p_id = id_s[posp]
-    p_h = h_s[posp]
-    p_cell = cell_m[posp]
-    r_c = rank[posp]
-    slot = jnp.where(presp, gather_1d(
-        free, jnp.clip(ft0 - r_c, 0, free.shape[0] - 1)), 0)
 
     new_state = HotSketchState(
         val=val, cnt=cnt, dic=dic, free=free, free_top=free_top,
