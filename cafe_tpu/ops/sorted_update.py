@@ -56,12 +56,16 @@ def seg_sum(vals: jnp.ndarray, sorted_keys: jnp.ndarray,
                                indices_are_sorted=True)
 
 
-def seg_max(vals: jnp.ndarray, sorted_keys: jnp.ndarray,
-            n_rows: int) -> jnp.ndarray:
+def seg_max(vals: jnp.ndarray, keys: jnp.ndarray, n_rows: int,
+            sorted: bool = True) -> jnp.ndarray:
     """Per destination row, max of vals over its key segment; empty
-    segments return the dtype minimum (INT_MIN / -inf)."""
-    return jax.ops.segment_max(vals, sorted_keys, num_segments=n_rows,
-                               indices_are_sorted=True)
+    segments return the dtype minimum (INT_MIN / -inf). Pass
+    sorted=False when keys are only PARTIALLY sorted (e.g. flat
+    bucket*C + cell destinations, ordered by bucket but not by cell) —
+    the hint must not lie. Measured cost is the serial reduce loop
+    (~1.1 ns per lane*channel) either way."""
+    return jax.ops.segment_max(vals, keys, num_segments=n_rows,
+                               indices_are_sorted=sorted)
 
 
 def set_rows_max(dest: jnp.ndarray, payload_enc: jnp.ndarray,

@@ -272,15 +272,23 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     valid = ids != INVALID_ID
     scores = jnp.where(valid, jnp.maximum(scores, 0.0), 0.0)
 
-    # occasional global decay (sketch.cpp:135: tot > s*k*10)
-    state = jax.lax.cond(
-        state.tot > jnp.float32(s) * k * 10.0,
-        lambda st: _decay(cfg, st),
-        lambda st: st,
-        state,
-    )
-    val, cnt, dic = state.val, state.cnt, state.dic
-    free, free_top = state.free, state.free_top
+    # occasional global decay (sketch.cpp:135: tot > s*k*10). The cond
+    # carries ONLY the leaves decay touches — val stays outside (the
+    # join copies every carried array each call, decay taken or not).
+    def _decay_leaves(args):
+        cnt, dic, free, free_top = args
+        demote = (dic != 0) & (cnt * cfg.decay < k)
+        free, free_top = push_slots(free, free_top, dic.reshape(-1),
+                                    demote.reshape(-1))
+        return (cnt * cfg.decay, jnp.where(demote, 0, dic), free,
+                free_top)
+
+    do_decay = state.tot > jnp.float32(s) * k * 10.0
+    cnt, dic, free, free_top = jax.lax.cond(
+        do_decay, _decay_leaves, lambda a: a,
+        (state.cnt, state.dic, state.free, state.free_top))
+    val = state.val
+    tot = jnp.where(do_decay, 0.0, state.tot)
 
     # ---- sort by (bucket, id); invalid lanes key to bucket s (the end)
     h = jnp.where(valid, _bucket_of(cfg, ids), s)
@@ -299,19 +307,29 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     pe = _prev(jax.lax.cummax(jnp.where(rep, cs, 0.0)), 0.0)
     gtot = cs - pe  # valid at rep lanes
 
-    # ---- match against existing cells: ONE packed wide-row gather
-    from ..ops.sorted_update import compact_mask, seg_max
+    # ---- match against existing cells: ONE packed wide-row gather, then
+    # ALL per-cell logic in TRANSPOSED [C, B] layout. XLA materializes
+    # inter-fusion intermediates padded to 128 lanes on the minor axis —
+    # a [B, C] boolean/float at C=4 occupies ~27 MB on disk-layout and
+    # costs 50-100 us per fusion boundary (tools/profile_lines.py); the
+    # same value as [C, B] is ~3.4 MB.
+    from ..ops.sorted_update import seg_max
     cells = jnp.arange(c, dtype=jnp.int32)
-    prow = _pack_cells(val, cnt, dic)[hsafe]     # [B, 3C]
-    bv = prow[:, :c]
-    bc = jax.lax.bitcast_convert_type(prow[:, c:2 * c], jnp.float32)
-    bd = prow[:, 2 * c:]
+    cellsT = cells[:, None]                              # [C, 1]
+    prowT = _pack_cells(val, cnt, dic)[hsafe].T          # [3C, B]
+    # force ONE materialization: without the barrier XLA rematerializes
+    # the 53k-row gather inside every consumer fusion (~40 us each)
+    prowT = jax.lax.optimization_barrier(prowT)
+    bv = prowT[:c]
+    bc = jax.lax.bitcast_convert_type(prowT[c:2 * c], jnp.float32)
+    bd = prowT[2 * c:]
     occ = bc > 0.0
-    m = occ & (bv == id_s[:, None])
-    cell_m = jnp.argmax(m, axis=1)
-    matched = m.any(axis=1) & rep
-    bc_m = jnp.sum(jnp.where(m, bc, 0.0), axis=1)
-    bd_m = jnp.sum(jnp.where(m, bd, 0), axis=1)
+    m = occ & (bv == id_s[None, :])                      # [C, B]
+    m_any = m.any(axis=0)
+    cell_m = jnp.argmax(m, axis=0).astype(jnp.int32)
+    matched = m_any & rep
+    bc_m = jnp.sum(jnp.where(m, bc, 0.0), axis=0)
+    bd_m = jnp.sum(jnp.where(m, bd, 0), axis=0)
 
     # ---- per-bucket matched-cell bitmask (broadcast over the bucket's
     # lane segment with two scans: cumsum of the <=1-per-cell bit
@@ -325,28 +343,29 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     end_b = jax.lax.cummin(jnp.where(rep_b, csb, jnp.int32(2**31 - 1)),
                            reverse=True)
     bucket_mbits = end_b - start_b       # C-bit mask of matched cells
-    cell_is_matched = ((bucket_mbits[:, None] >> cells) & 1) > 0
+    cell_is_matched = ((bucket_mbits[None, :] >> cellsT) & 1) > 0
 
     # ---- per-bucket winner among new-id groups: first unmatched rep in
     # each bucket segment (h_s is non-decreasing -> cummax is segment-max)
-    un = rep & ~m.any(axis=1)
+    un = rep & ~m_any
     prev_un_bucket = _prev(jax.lax.cummax(jnp.where(un, h_s, -1)), -1)
     winner = un & (prev_un_bucket != h_s)
 
     # victim: min-count cell among UNMATCHED unprotected occupied cells
     # (matched exclusion makes every (bucket, cell) single-writer; see
     # docstring). Empty cells are taken first, as in sketch.cpp:110-112.
-    has_empty = (~occ).any(axis=1)
-    cell_e = jnp.argmax(~occ, axis=1)
+    has_empty = (~occ).any(axis=0)
+    cell_e = jnp.argmax(~occ, axis=0).astype(jnp.int32)
     evictable = occ & (bd == 0) & ~cell_is_matched
     bc_vic = jnp.where(evictable, bc, jnp.inf)
-    cell_v = jnp.argmin(bc_vic, axis=1)
-    can_evict = jnp.isfinite(jnp.min(bc_vic, axis=1))
+    cell_v = jnp.argmin(bc_vic, axis=0).astype(jnp.int32)
+    can_evict = jnp.isfinite(jnp.min(bc_vic, axis=0))
     use_cell = jnp.where(has_empty, cell_e, cell_v)
     placed = winner & (has_empty | can_evict)
     # the victim's count (0 for empty cells by invariant) is inherited —
     # Space-Saving eviction, sketch.cpp:113-124
-    bc_u = jnp.sum(jnp.where(use_cell[:, None] == cells, bc, 0.0), axis=1)
+    bc_u = jnp.sum(jnp.where(use_cell[None, :] == cellsT, bc, 0.0),
+                   axis=0)
     place_cnt = bc_u + gtot
 
     # ---- promotion: matched cells crossing the threshold (placements
@@ -362,29 +381,48 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
 
     # ---- THE B-lane segment reduction: every writer encodes its cell's
     # ABSOLUTE new (val, cnt) — cnt as non-negative f32 bits, which are
-    # order-isomorphic int32 — and one sorted segment-max lands the call's
-    # whole [S, C] update (-1 = no write; <=1 writer per cell).
-    mask_w = (m & matched[:, None]) | (placed[:, None]
-                                       & (use_cell[:, None] == cells))
+    # order-isomorphic int32 — keyed by the FLAT destination element
+    # bucket*C + target-cell, so the reduction carries exactly TWO
+    # channels. The serial reduce loop costs ~1.1 ns per lane*channel
+    # (tools/profile_lines.py: [53k, 8] = 479 us, [53k, 2] = ~125 us), so
+    # channel count is the lever. -1 = no write; <=1 writer per element.
+    # (Measured alternatives at 53k lanes: flat bucket*C+cell keys with 2
+    # channels cost ~670 us unsorted / ~540 us sorted — the bucket-keyed
+    # [B, 2C] sorted form below is the cheapest at ~430 us; segment cost
+    # is per-LANE, channels are nearly free.)
+    mask_p = placed[None, :] & (use_cell[None, :] == cellsT)   # [C, B]
+    mask_w = (m & matched[None, :]) | mask_p
     cnt_new = jnp.where(matched, bc_m + gtot, place_cnt)
     cnt_bits = jax.lax.bitcast_convert_type(
         cnt_new.astype(jnp.float32), jnp.int32)
-    enc = jnp.concatenate(
-        [jnp.where(placed[:, None] & (use_cell[:, None] == cells),
-                   id_s[:, None], -1),
-         jnp.where(mask_w, cnt_bits[:, None], -1)], axis=1)
-    mx = seg_max(enc, h_s, s)                            # [S, 2C]
+    encT = jnp.concatenate(
+        [jnp.where(mask_p, id_s[None, :], -1),
+         jnp.where(mask_w, cnt_bits[None, :], -1)], axis=0)   # [2C, B]
+    mx = seg_max(encT.T, h_s, s)                         # [S, 2C]
     val_rows = jnp.where(mx[:, :c] >= 0, mx[:, :c], val[:s])
     cnt_rows = jnp.where(
         mx[:, c:] >= 0,
         jax.lax.bitcast_convert_type(mx[:, c:], jnp.float32), cnt[:s])
 
-    # ---- compact the promotion report; slots + dic update at PROMO_LANES
-    posp, presp = compact_mask(got, pl)
-    p_id = id_s[posp]
-    p_h = jnp.where(presp, h_s[posp], s)
-    p_cell = cell_m[posp]
-    r_c = rank[posp]
+    # ---- compact the promotion report; slots + dic update at PROMO_LANES.
+    # ONE stable priority sort compacts promotions (prio 0) AND round-2
+    # losers (prio 1) together, and ONE [B, 5]-packed row gather fetches
+    # all per-lane report fields — 1-D gathers cost ~29 us EACH even at
+    # 4k lanes on this runtime (tools/profile_lines.py) while a packed
+    # row gather is <1 us.
+    loser = un & ~winner
+    prio = jnp.where(got, 0, jnp.where(loser, 1, 2))
+    order = jnp.argsort(prio, stable=True).astype(jnp.int32)
+    lane_tab = jnp.stack(
+        [id_s, h_s, cell_m, rank,
+         jax.lax.bitcast_convert_type(gtot, jnp.int32)], axis=1)
+    n_got = jnp.minimum(rank[-1], bound)
+    rp = lane_tab[order[:pl]]                            # [pl, 5]
+    presp = jnp.arange(pl, dtype=jnp.int32) < n_got
+    p_id = rp[:, 0]
+    p_h = jnp.where(presp, rp[:, 1], s)
+    p_cell = rp[:, 2]
+    r_c = rp[:, 3]
     slot = jnp.where(presp, free[jnp.clip(ft0 - r_c, 0,
                                           free.shape[0] - 1)], 0)
     dic_enc = jnp.where(presp[:, None] & (p_cell[:, None] == cells),
@@ -399,12 +437,16 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     # round-1-matched cell — its post-add count is inherited, standard
     # Space-Saving; round-1 promotions are respected via dic_rows.
     if cfg.insert_rounds > 1:
-        loser = un & ~winner
-        posl, l_valid = compact_mask(loser, pl)
-        l_h = jnp.where(l_valid, h_s[posl], s)
+        # loser lanes follow the got lanes in the priority sort; the
+        # dynamic-slice start can only clamp when n_got > B - pl, which
+        # bound <= pl <= B/2 rules out.
+        rl = lane_tab[jax.lax.dynamic_slice(order, (n_got,), (pl,))]
+        l_valid = jnp.arange(pl, dtype=jnp.int32) < loser.sum(
+            dtype=jnp.int32)
+        l_h = jnp.where(l_valid, rl[:, 1], s)
         l_hsafe = jnp.minimum(l_h, s - 1)
-        l_id = id_s[posl]
-        l_g = gtot[posl]
+        l_id = rl[:, 0]
+        l_g = jax.lax.bitcast_convert_type(rl[:, 4], jnp.float32)
         prow2 = _pack_cells(val_rows, cnt_rows, dic_rows)[l_hsafe]
         bc2 = jax.lax.bitcast_convert_type(prow2[:, c:2 * c], jnp.float32)
         bd2 = prow2[:, 2 * c:]
@@ -421,15 +463,13 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
         placed2 = winner2 & (has_e2 | can_e2)
         bc_u2 = jnp.sum(jnp.where(use2[:, None] == cells, bc2, 0.0),
                         axis=1)
-        # compact_mask keeps lane order, so l_h is non-decreasing over
-        # valid lanes and sentinel s on the rest — sorted for seg_max
-        mask_p2 = placed2[:, None] & (use2[:, None] == cells)
         cb2 = jax.lax.bitcast_convert_type(
             (bc_u2 + l_g).astype(jnp.float32), jnp.int32)
+        mask_p2 = placed2[:, None] & (use2[:, None] == cells)
         enc2 = jnp.concatenate(
             [jnp.where(mask_p2, l_id[:, None], -1),
              jnp.where(mask_p2, cb2[:, None], -1)], axis=1)
-        mx2 = seg_max(enc2, l_h, s)
+        mx2 = seg_max(enc2, l_h, s)    # l_h sorted (stable prio sort)
         val_rows = jnp.where(mx2[:, :c] >= 0, mx2[:, :c], val_rows)
         cnt_rows = jnp.where(
             mx2[:, c:] >= 0,
@@ -442,7 +482,7 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
 
     new_state = HotSketchState(
         val=val, cnt=cnt, dic=dic, free=free, free_top=free_top,
-        tot=state.tot + scores.sum(),
+        tot=tot + scores.sum(),
     )
     res = InsertResult(
         ids=jnp.where(presp, p_id, INVALID_ID),
