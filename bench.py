@@ -146,6 +146,12 @@ def main():
         cafe_sketch_threshold=500.0, cafe_hash_rate=0.5,
         mini_batch_size=BATCH, learning_rate=0.1, optimizer="sgd",
         bf16=True,
+        # sketch insert every 8th step with x8 score mass — AUC-neutral
+        # (A/B on the synthetic Criteo grid, docs/EXPERIMENTS.md) and
+        # amortizes the insert, the costliest non-matmul op in the step
+        # (docs/r4_measurements/). The CLI default stays 1
+        # (reference-exact insert-every-backward).
+        cafe_insert_interval=8,
         # donate_state A/B'd on the honest clock (docs/PERF.md): no
         # significant difference; left at the default.
     )

@@ -60,6 +60,13 @@ class Config:
                                        # sharded step; x16 (min 4096) on a single
                                        # device. Promotions beyond it are reverted
                                        # losslessly and retry on the next touch
+    cafe_insert_interval: int = 1      # feed grad-norm scores to the sketch every
+                                       # k-th step (scores x k preserve expected
+                                       # mass). 1 = reference-exact (insert after
+                                       # every backward, main.py:376). The insert
+                                       # is the costliest non-matmul op in the
+                                       # fused step; k=8 amortizes it ~8x and is
+                                       # AUC-neutral (A/B, docs/EXPERIMENTS.md)
     # training
     mini_batch_size: int = 128
     test_mini_batch_size: int = 16384

@@ -100,7 +100,8 @@ def build_embedding_layer(cfg, counts, dim: int,
             alpha=cfg.cafe_alpha,
             mig_lanes=getattr(cfg, "cafe_mig_lanes", 256),
             plus_inherit=getattr(cfg, "cafe_plus_inherit", False),
-            plus_staging_frac=sfrac)
+            plus_staging_frac=sfrac,
+            insert_interval=getattr(cfg, "cafe_insert_interval", 1))
         if cfg.cafe_hot_separate_field:
             for i in big:
                 hotn = sizing.cafe_field_hotn(counts[i], cr, dim,

@@ -60,7 +60,7 @@ class CafePart(Part):
                  use_freq: bool = False, plus: bool = False,
                  adjust_threshold: bool = True, alpha: float = 1.000001,
                  mig_lanes: int = 256, plus_inherit: bool = False,
-                 plus_staging_frac: float = 0.1):
+                 plus_staging_frac: float = 0.1, insert_interval: int = 1):
         self.field_idx = list(field_idx)
         self.counts = [int(c) for c in counts]
         self.global_offsets = [int(o) for o in global_offsets]
@@ -81,6 +81,16 @@ class CafePart(Part):
         # de-promoted; the id re-promotes on its next touch) so the
         # migration exchange stays a small fixed size
         self.mig_lanes = int(mig_lanes)
+        # insert grad-norm scores into the sketch every k-th step (scores
+        # scaled by k so the expected per-wall-step mass — and thus
+        # threshold/decay cadence — is preserved). 1 = reference-exact
+        # (insert after every backward, main.py:376). The sketch only
+        # drives promotion timing/routing, not the loss, so a 1/k time
+        # subsample is AUC-neutral (A/B on the synthetic Criteo grid,
+        # docs/EXPERIMENTS.md) while cutting the sketch's share of the
+        # step by ~k — the insert is the most expensive non-matmul op
+        # in the fused step (docs/r4_measurements/).
+        self.insert_interval = max(int(insert_interval), 1)
         self.n_shards = 1
         if plus:
             from ..sketch.hotsketch_plus import revert_promotions_plus
@@ -180,6 +190,9 @@ class CafePart(Part):
         state = {
             "table": jnp.asarray(table),
             "sketch": sketch,
+            # step counter for insert_interval (checkpointed so resume
+            # keeps the insert phase; harmless scalar at interval 1)
+            "tick": jnp.zeros((), jnp.int32),
         }
         return self._maybe_acc(state, "table")
 
@@ -332,46 +345,78 @@ class CafePart(Part):
                 "serving/inspection only")
         oids, row, hrow, is_hot = aux
         b, f, d = g_raw.shape
-
-        # importance scores (sk_embedding_bag.py:155-162): per-field batch
-        # L2 norms normalized to mean 1; frequency mode uses all-ones.
-        if self.use_freq:
-            scores = jnp.ones((b, f), jnp.float32)
-        else:
-            norms = jnp.sqrt(jnp.sum(g_raw * g_raw, axis=-1) + 1e-30)
-            scores = norms * b / (jnp.sum(norms, axis=0, keepdims=True)
-                                  + 1e-30)
-
         flat_oids = oids.reshape(-1)
-        sk, promo = self._sk_insert(self.sketch_cfg, state["sketch"],
-                                    flat_oids, scores.reshape(-1))
+        interval = self.insert_interval
 
-        # compact the promotion lanes before computing migration rows: the
-        # v1 sketch reports candidates over the [B*cells] grid, so without
-        # a cap the migration gather/scatter runs over L lanes of dim-wide
-        # rows (at CriteoTB shapes, 213k x 128 x 4B x 2 ~ 218 MB/step —
-        # measured 43% of the whole step). Cap at mig_lanes and REVERT the
-        # excess promotions losslessly (slot returned, cell de-promoted;
-        # the id re-promotes on its next touch) — the same mechanism the
-        # sharded path uses to bound its migration exchange.
-        L = promo.ids.shape[0]
-        cap = min(L, self.hotn, max(self.mig_lanes * 16, 4096))
-        mask = promo.mask
-        if cap < L:
-            rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-            excess = mask & (rank >= cap)
-            sk = self._sk_revert(self.sketch_cfg, sk, flat_oids, promo,
-                                 excess)
-            mask = mask & ~excess
-            pos = jnp.where(mask, jnp.clip(rank, 0, cap - 1), cap)
-            p_ids = jnp.zeros(cap + 1, jnp.int32).at[pos].set(
-                promo.ids, mode="drop")[:cap]
-            p_slots = jnp.zeros(cap + 1, jnp.int32).at[pos].set(
-                promo.slots, mode="drop")[:cap]
-            p_mask = jnp.zeros(cap + 1, bool).at[pos].set(
-                mask, mode="drop")[:cap]
+        def insert_and_compact(sketch_in):
+            """Score -> insert -> lossless promotion cap -> fixed-lane
+            compaction. Returns (sketch, p_ids, p_slots, p_mask) with the
+            report compacted to a static lane count so it can live on
+            either side of the insert-interval lax.cond."""
+            # importance scores (sk_embedding_bag.py:155-162): per-field
+            # batch L2 norms normalized to mean 1; frequency mode uses
+            # all-ones. Scaled by insert_interval so a 1/k time subsample
+            # contributes the same expected mass per wall-step.
+            if self.use_freq:
+                scores = jnp.full((b, f), float(interval), jnp.float32)
+            else:
+                norms = jnp.sqrt(jnp.sum(g_raw * g_raw, axis=-1) + 1e-30)
+                scores = norms * (b * interval) / (
+                    jnp.sum(norms, axis=0, keepdims=True) + 1e-30)
+            sk, promo = self._sk_insert(self.sketch_cfg, sketch_in,
+                                        flat_oids, scores.reshape(-1))
+
+            # compact the promotion lanes before computing migration rows:
+            # the v1 sketch reports candidates over the [B*cells] grid, so
+            # without a cap the migration gather/scatter runs over L lanes
+            # of dim-wide rows (at CriteoTB shapes, 213k x 128 x 4B x 2 ~
+            # 218 MB/step — measured 43% of the whole step). Cap at
+            # mig_lanes and REVERT the excess promotions losslessly (slot
+            # returned, cell de-promoted; the id re-promotes on its next
+            # touch) — the same mechanism the sharded path uses to bound
+            # its migration exchange.
+            L = promo.ids.shape[0]
+            cap = min(L, self.hotn, max(self.mig_lanes * 16, 4096))
+            mask = promo.mask
+            if cap < L:
+                rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+                excess = mask & (rank >= cap)
+                sk = self._sk_revert(self.sketch_cfg, sk, flat_oids, promo,
+                                     excess)
+                mask = mask & ~excess
+                pos = jnp.where(mask, jnp.clip(rank, 0, cap - 1), cap)
+                p_ids = jnp.zeros(cap + 1, jnp.int32).at[pos].set(
+                    promo.ids, mode="drop")[:cap]
+                p_slots = jnp.zeros(cap + 1, jnp.int32).at[pos].set(
+                    promo.slots, mode="drop")[:cap]
+                p_mask = jnp.zeros(cap + 1, bool).at[pos].set(
+                    mask, mode="drop")[:cap]
+            else:
+                p_ids, p_slots, p_mask = promo.ids, promo.slots, mask
+            return sk, p_ids, p_slots, p_mask
+
+        if interval > 1:
+            import jax
+            # static lane count of the compacted report: L lanes from the
+            # sketch (v1 compacts to PROMO_LANES, CAFE+ reports [B]),
+            # further capped by the migration budget
+            from ..sketch.hotsketch import PROMO_LANES
+            L0 = flat_oids.shape[0] if self.plus \
+                else min(flat_oids.shape[0], PROMO_LANES)
+            cap_l = min(L0, self.hotn, max(self.mig_lanes * 16, 4096))
+
+            def skip(sketch_in):
+                return (sketch_in,
+                        jnp.zeros(cap_l, jnp.int32),
+                        jnp.zeros(cap_l, jnp.int32),
+                        jnp.zeros(cap_l, bool))
+
+            sk, p_ids, p_slots, p_mask = jax.lax.cond(
+                state["tick"] % interval == 0,
+                insert_and_compact, skip, state["sketch"])
         else:
-            p_ids, p_slots, p_mask = promo.ids, promo.slots, mask
+            sk, p_ids, p_slots, p_mask = insert_and_compact(
+                state["sketch"])
 
         # migration BEFORE the optimizer touches the cold rows, matching the
         # reference's insert_grad-then-step ordering (main.py:376-377).
@@ -386,7 +431,8 @@ class CafePart(Part):
         dst = jnp.where(p_mask, p_slots, self.total_rows)
         table = state["table"].at[dst].set(state["table"][prow],
                                            mode="drop")
-        state = {**state, "table": table, "sketch": sk}
+        state = {**state, "table": table, "sketch": sk,
+                 "tick": state.get("tick", jnp.zeros((), jnp.int32)) + 1}
         # freshly promoted slots restart their optimizer state (stale
         # adagrad acc would permanently shrink the new occupant's lr; the
         # reference's full-tensor torch state has the same staleness and
@@ -402,7 +448,7 @@ class CafePart(Part):
                                    g_raw.reshape(b * f, d), lr)
 
         stats = {
-            "cafe_promotions": mask.sum(),
+            "cafe_promotions": p_mask.sum(),
             "cafe_hot_frac": is_hot.mean(),
         }
         return state, stats
@@ -435,12 +481,19 @@ class CafePart(Part):
         hoff = jnp.asarray(self.hash_off, dtype=jnp.int32)
 
         # importance scores — identical math to the single-device path
+        # (including the insert_interval mass scaling)
+        interval = self.insert_interval
         if self.use_freq:
-            scores = jnp.ones((b, f), jnp.float32)
+            scores = jnp.full((b, f), float(interval), jnp.float32)
         else:
             norms = jnp.sqrt(jnp.sum(g_raw * g_raw, axis=-1) + 1e-30)
-            scores = norms * b / (jnp.sum(norms, axis=0, keepdims=True)
-                                  + 1e-30)
+            scores = norms * (b * interval) / (
+                jnp.sum(norms, axis=0, keepdims=True) + 1e-30)
+        # replicated predicate: every device takes the same branch, so a
+        # lax.cond whose insert branch contains collectives is legal under
+        # shard_map (same pattern as the unique-compact `over` cond)
+        do_insert = (state.get("tick", jnp.zeros((), jnp.int32))
+                     % interval == 0) if interval > 1 else None
 
         sk = state["sketch"]
         from ..sketch.sharded import (shard_global_view, shard_local_view,
@@ -451,7 +504,7 @@ class CafePart(Part):
 
         two_level = len(AXIS) == 2
 
-        def f(tbl, sl, sk_g, oids_l, sc_l):
+        def f(tbl, sl, sk_g, oids_l, sc_l, do_l):
             # SKETCH + MIGRATION ONLY: id/score traffic (4B lanes) plus
             # the bounded n*p_cap*D migration exchange. The batch's
             # D-wide row updates ride exchange.sharded_apply afterwards
@@ -494,15 +547,17 @@ class CafePart(Part):
                                             tiled=True)
                 return insert_leg(all_oids, all_sc)
 
-            hier = False
-            if two_level:
-                from ..ops.sparse import coalesce_compact
-                from ..parallel.exchange import unique_cap
-                dcn_ax, ici_ax = AXIS
-                n_ici = self.mesh.shape[ici_ax]
-                C = unique_cap(m * n_ici, self.unique_frac)
-                hier = bool(C)
-            if hier:
+            def run_insert(_):
+                hier = False
+                if two_level:
+                    from ..ops.sparse import coalesce_compact
+                    from ..parallel.exchange import unique_cap
+                    dcn_ax, ici_ax = AXIS
+                    n_ici = self.mesh.shape[ici_ax]
+                    C = unique_cap(m * n_ici, self.unique_frac)
+                    hier = bool(C)
+                if not hier:
+                    return flat_leg(None)
                 # hierarchical (id, score-sum) leg: duplicates combine
                 # within the host before crossing DCN (score sums are
                 # exactly what the insert segment-sums anyway)
@@ -520,10 +575,33 @@ class CafePart(Part):
                                                  tiled=True)
                     return insert_leg(cand, cand_sc)
 
+                return jax.lax.cond(over, flat_leg, compact_leg, None)
+
+            if interval > 1:
+                # lax.cond under shard_map demands identical varying-
+                # manual-axes types across branches; constants (and some
+                # post-collective values) trace as replicated, so cast
+                # every branch output to device-varying uniformly
+                axes = AXIS if isinstance(AXIS, tuple) else (AXIS,)
+
+                def _vary(x):
+                    vma = getattr(jax.typeof(x), "vma", frozenset())
+                    miss = tuple(a for a in axes if a not in vma)
+                    return jax.lax.pvary(x, miss) if miss else x
+
+                def skip_leg(_):
+                    return jax.tree.map(_vary, (
+                        shard_local_view(sk_g),
+                        jnp.full(p_cap, INVALID_ID, jnp.int32),
+                        jnp.zeros(p_cap, jnp.int32),
+                        jnp.zeros(p_cap, bool),
+                        jnp.int32(0)))
+
                 st, cp_ids, cp_slot, cp_mask, n_keep = jax.lax.cond(
-                    over, flat_leg, compact_leg, None)
+                    do_l, lambda o: jax.tree.map(_vary, run_insert(o)),
+                    skip_leg, None)
             else:
-                st, cp_ids, cp_slot, cp_mask, n_keep = flat_leg(None)
+                st, cp_ids, cp_slot, cp_mask, n_keep = run_insert(None)
 
             gp_ids = jax.lax.all_gather(cp_ids, AXIS, tiled=True)
             gp_slot = jax.lax.all_gather(cp_slot, AXIS, tiled=True)
@@ -551,9 +629,10 @@ class CafePart(Part):
         table, slots_mig, new_sk, n_promo = shard_map(
             f, self.mesh,
             in_specs=(P(AXIS, None), sl_specs, sk_specs,
-                      P(AXIS, None), P(AXIS, None)),
+                      P(AXIS, None), P(AXIS, None), P()),
             out_specs=(P(AXIS, None), sl_specs, sk_specs, P()),
-        )(state["table"], slots_in, sk, oids, scores)
+        )(state["table"], slots_in, sk, oids, scores,
+          do_insert if do_insert is not None else jnp.bool_(True))
 
         # ---- row updates: migration happens BEFORE the optimizer touch
         # (reference insert_grad-then-step order, main.py:376-377);
@@ -563,8 +642,10 @@ class CafePart(Part):
             self.mesh, table, slots_mig, row, g_raw, lr, self.optimizer,
             self.unique_frac)
 
-        out = self._put_slots({**state, "table": table, "sketch": new_sk},
-                              "table", slots_out)
+        out = self._put_slots(
+            {**state, "table": table, "sketch": new_sk,
+             "tick": state.get("tick", jnp.zeros((), jnp.int32)) + 1},
+            "table", slots_out)
         stats = {
             "cafe_promotions": n_promo,
             "cafe_hot_frac": is_hot.mean(),

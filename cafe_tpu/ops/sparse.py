@@ -149,15 +149,20 @@ def apply_rows(table: jnp.ndarray, slots: dict, idx: jnp.ndarray,
     """Unified sparse row update: dispatch on optimizer with `slots` as
     produced by init_slots. Returns (table, slots).
 
-    When the table is small relative to the update lane count (or
-    `table_pass=True`), the update runs as a scatter-free full-table pass
-    (ops/sorted_update.py) — XLA's TPU scatter serializes per lane, so at
-    e.g. 27k rows x 53k lanes the pass is ~10x faster. Semantics match
-    (coalesce-first optimizer math); duplicate-combining float order is
-    unspecified either way."""
+    Route choice (in-step A/B on v5e, bench shapes 53k lanes x 16,
+    docs/r4_measurements/): plain scatter-add costs ~340 us and SGD
+    needs nothing else (duplicates sum natively), while the sorted pass
+    (argsort + permute-gathers + multi-channel segment_sum) costs ~1.0 ms
+    — so SGD always scatters. Adagrad/adam must coalesce duplicates
+    FIRST (torch semantics) and then pay several scatters/gathers, which
+    loses to the pass whenever the table is small enough to stream
+    (use_table_pass); big tables scatter either way."""
     if table_pass is None:
-        from .sorted_update import use_table_pass
-        table_pass = use_table_pass(table.shape[0], idx.shape[0])
+        if optimizer == "sgd":
+            table_pass = False
+        else:
+            from .sorted_update import use_table_pass
+            table_pass = use_table_pass(table.shape[0], idx.shape[0])
     if table_pass:
         from .sorted_update import apply_rows_pass
         return apply_rows_pass(table, slots, idx, grad, lr, optimizer)

@@ -281,13 +281,16 @@ def main(argv=None):
             "cafe_plus_auto": {"cafe_plus_staging_frac": -1.0},
             "cafe_plus_auto_inherit": {"cafe_plus_inherit": True,
                                        "cafe_plus_staging_frac": -1.0},
+            # amortized sketch insert (every 8th step, x8 score mass) —
+            # the perf-mode A/B arm vs plain "cafe" (bench.py uses 8)
+            "cafe_iv8": {"cafe_insert_interval": 8},
         }
         base_method = (None if method == "full"
                        else "cafe" if method in plus_variants else method)
         cfg = Config(
             dataset="criteo", model="dlrm", embedding_dim=16,
             compress_method=base_method,
-            cafe_plus=(method in plus_variants),
+            cafe_plus=method.startswith("cafe_plus"),
             compress_rate=cr,
             cafe_sketch_threshold=max(thr * thr_scale, 2.0),
             cafe_hash_rate=hr, learning_rate=0.1,

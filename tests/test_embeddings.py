@@ -1,6 +1,7 @@
 """Embedding parts: sizing formulas, gather/update semantics, CAFE routing."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -453,3 +454,60 @@ def test_ada_rejects_budget_consumed_by_overhead():
     from cafe_tpu.embeddings.ada import AdaPart
     with pytest.raises(ValueError, match="compress_rate > 2/dim"):
         AdaPart([0], [100000], hotn=-3125, dim=16)
+
+
+class TestInsertInterval:
+    """cafe_insert_interval: sketch insert every k-th step with x-k score
+    mass (bench.py perf mode; CLI default 1 = reference-exact)."""
+
+    def _part(self, interval, threshold=6.0):
+        return CafePart(
+            field_idx=[0, 1], counts=[100, 200], global_offsets=[0, 100],
+            hotn=32, hash_sizes=[10, 20], dim=4,
+            sketch_threshold=threshold, sketch_decay=0.99, max_count=200,
+            insert_interval=interval)
+
+    def test_skip_steps_leave_sketch_untouched(self):
+        p = self._part(interval=3)
+        state = p.init(np.random.default_rng(0))
+        ids = jnp.asarray([[5, 7]] * 4, jnp.int32)
+        g = jnp.ones((4, 2, 4), jnp.float32)
+        sketches = []
+        for _ in range(4):
+            raw, aux = p.gather(state, ids)
+            state, _ = p.apply_grads(state, ids, g, aux, lr=0.0)
+            sketches.append(state["sketch"])
+        # step 0 inserts; steps 1, 2 skip; step 3 inserts again
+        for a, b in zip(jax.tree.leaves(sketches[0]),
+                        jax.tree.leaves(sketches[1])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(state["tick"]) == 4
+        changed = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(sketches[2]),
+                            jax.tree.leaves(sketches[3])))
+        assert changed, "step 3 (tick%3==0) must insert"
+
+    def test_interval_matches_subsampled_reference(self):
+        """k-interval run == a run fed only the inserting steps' batches
+        (same x-k score mass, tick pinned so every call inserts): the
+        cond wiring changes WHEN inserts happen, not WHAT they do."""
+        k = 2
+        p_iv = self._part(interval=k)
+        p_ref = self._part(interval=k)
+        st_iv = p_iv.init(np.random.default_rng(1))
+        st_ref = p_ref.init(np.random.default_rng(1))
+        rng = np.random.default_rng(7)
+        for step in range(4):
+            ids = jnp.asarray(rng.integers(0, 100, (4, 2)), jnp.int32)
+            g = jnp.asarray(rng.normal(size=(4, 2, 4)), jnp.float32)
+            raw, aux = p_iv.gather(st_iv, ids)
+            st_iv, _ = p_iv.apply_grads(st_iv, ids, g, aux, lr=0.0)
+            if step % k == 0:
+                st_ref = {**st_ref, "tick": jnp.zeros((), jnp.int32)}
+                raw_r, aux_r = p_ref.gather(st_ref, ids)
+                st_ref, _ = p_ref.apply_grads(st_ref, ids, g, aux_r,
+                                              lr=0.0)
+        for a, b in zip(jax.tree.leaves(st_iv["sketch"]),
+                        jax.tree.leaves(st_ref["sketch"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
