@@ -147,7 +147,9 @@ def main():
         mini_batch_size=BATCH, learning_rate=0.1, optimizer="sgd",
         bf16=True,
         # sketch insert every 8th step with x8 score mass — AUC-neutral
-        # (A/B on the synthetic Criteo grid, docs/EXPERIMENTS.md) and
+        # AT THIS PROTOCOL'S cr=1e-3 operating point (on-chip A/B at
+        # 4.19M rows: 0.74604 vs 0.74613; docs/EXPERIMENTS.md — NOT
+        # neutral at cr=1e-4, where the default interval 1 applies) and
         # amortizes the insert, the costliest non-matmul op in the step
         # (docs/r4_measurements/). The CLI default stays 1
         # (reference-exact insert-every-backward).

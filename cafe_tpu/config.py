@@ -66,7 +66,11 @@ class Config:
                                        # every backward, main.py:376). The insert
                                        # is the costliest non-matmul op in the
                                        # fused step; k=8 amortizes it ~8x and is
-                                       # AUC-neutral (A/B, docs/EXPERIMENTS.md)
+                                       # AUC-neutral at cr >= ~1e-3, but costs
+                                       # ~2 AUC pts at cr = 1e-4 (tiny hot sets
+                                       # are promotion-timing sensitive) — A/B
+                                       # table in docs/EXPERIMENTS.md. Keep 1
+                                       # at extreme compression.
     # training
     mini_batch_size: int = 128
     test_mini_batch_size: int = 16384

@@ -1,10 +1,21 @@
 """Offline preprocessing: raw CSV/TSV -> binary memmap format.
 
-Replicates the contract of ArtifactEvaluation/datasets/process_data.py:
-  * dense features  -> log(1 + x), missing -> 0          (process_data.py:64-73)
-  * sparse features -> per-field label encoding, each field an independent
+Replicates the contract of ArtifactEvaluation/datasets/process_data.py
+BYTE-FOR-BYTE on the Criteo one-shot path (tests/test_preprocess_parity.py
+runs both on the same raw fixture and compares output files):
+  * dense features  -> log(x + 1) if x > 0 else 0, missing -> 0
+    (process_data.py:64-73; the exact np.log(x+1) double-rounding is
+    reproduced, not log1p)
+  * sparse features -> per-field label encoding in SORTED unique-value
+    order (sklearn LabelEncoder.fit_transform semantics), missing ->
+    the string "0" (pandas fillna("0")), each field an independent
     contiguous id space starting at 0                    (process_data.py:75-86)
   * outputs processed_{sparse_sep,dense,label,count}.bin
+
+Parity caveat: pandas type inference — a sparse column whose every value
+parses numeric becomes int64 and LabelEncoder then sorts numerically;
+this encoder always keys raw strings. Criteo's hex fields parse as
+object/str, where the two agree.
 
 Implemented as a streaming two-pass encoder (pass 1: collect per-field
 vocabularies; pass 2: encode) so terabyte-scale inputs never need to fit in
@@ -46,13 +57,21 @@ class StreamingEncoder:
             for line in f:
                 cols = line.rstrip("\n").split(self.sep)
                 for j, c in enumerate(self.sparse_cols):
-                    v = cols[c] if c < len(cols) else ""
+                    v = cols[c] if c < len(cols) and cols[c] else "0"
                     vocab = self.vocabs[j]
                     if v not in vocab:
                         vocab[v] = len(vocab)
 
+    def finalize(self) -> None:
+        """Re-key every vocabulary to SORTED unique-value order — sklearn
+        LabelEncoder semantics (process_data.py:82-84), so ids match the
+        reference encoder exactly. Idempotent; encode() calls it."""
+        self.vocabs = [{k: i for i, k in enumerate(sorted(v))}
+                       for v in self.vocabs]
+
     def encode(self, paths: List[str], out_dir: str,
                chunk_rows: int = 1_000_000) -> None:
+        self.finalize()
         os.makedirs(out_dir, exist_ok=True)
         counts = np.array([len(v) for v in self.vocabs], dtype=np.int32)
         counts.tofile(osp.join(out_dir, "processed_count.bin"))
@@ -88,12 +107,15 @@ class StreamingEncoder:
                         row = []
                         for c in self.dense_cols:
                             v = cols[c] if c < len(cols) else ""
-                            row.append(np.log1p(float(v)) if v not in
-                                       ("", None) and float(v) >= 0 else 0.0)
+                            x = float(v) if v not in ("", None) else 0.0
+                            # exact reference math: np.log(x+1) if x > 0
+                            # else 0 (process_data.py:70-72) — not log1p,
+                            # whose double rounding can differ by 1 ulp
+                            row.append(np.log(x + 1.0) if x > 0 else 0.0)
                         de_buf.append(row)
                     srow = []
                     for j, c in enumerate(self.sparse_cols):
-                        v = cols[c] if c < len(cols) else ""
+                        v = cols[c] if c < len(cols) and cols[c] else "0"
                         srow.append(self.vocabs[j].get(v, 0))
                     sp_buf.append(srow)
                     if len(sp_buf) >= chunk_rows:

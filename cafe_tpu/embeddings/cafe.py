@@ -85,11 +85,12 @@ class CafePart(Part):
         # scaled by k so the expected per-wall-step mass — and thus
         # threshold/decay cadence — is preserved). 1 = reference-exact
         # (insert after every backward, main.py:376). The sketch only
-        # drives promotion timing/routing, not the loss, so a 1/k time
-        # subsample is AUC-neutral (A/B on the synthetic Criteo grid,
-        # docs/EXPERIMENTS.md) while cutting the sketch's share of the
-        # step by ~k — the insert is the most expensive non-matmul op
-        # in the fused step (docs/r4_measurements/).
+        # drives promotion timing/routing, not the loss; the 1/k time
+        # subsample is AUC-neutral at cr >= ~1e-3 but mis-ranks tiny hot
+        # sets at cr = 1e-4 (-2.1 AUC pts; A/B table in
+        # docs/EXPERIMENTS.md) — a perf knob for moderate compression,
+        # cutting the insert (the costliest non-matmul op in the fused
+        # step, docs/r4_measurements/) by ~k.
         self.insert_interval = max(int(insert_interval), 1)
         self.n_shards = 1
         if plus:

@@ -281,8 +281,10 @@ def main(argv=None):
             "cafe_plus_auto": {"cafe_plus_staging_frac": -1.0},
             "cafe_plus_auto_inherit": {"cafe_plus_inherit": True,
                                        "cafe_plus_staging_frac": -1.0},
-            # amortized sketch insert (every 8th step, x8 score mass) —
-            # the perf-mode A/B arm vs plain "cafe" (bench.py uses 8)
+            # amortized sketch insert (every k-th step, x-k score mass) —
+            # the perf-mode A/B arms vs plain "cafe" (bench.py uses 8)
+            "cafe_iv2": {"cafe_insert_interval": 2},
+            "cafe_iv4": {"cafe_insert_interval": 4},
             "cafe_iv8": {"cafe_insert_interval": 8},
         }
         base_method = (None if method == "full"

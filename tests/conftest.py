@@ -38,6 +38,32 @@ def pytest_configure(config):
         "pytest-timeout is not installed in this image, so the mark is "
         "enforced here — a hung multi-process test must not hang the "
         "whole suite)")
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy 8-virtual-device / multi-process suites (the full "
+        "run needs >20 min on a 1-CPU box). `-m quick` (< 5 min) covers "
+        "every source module; `-m slow` runs the rest; no -m runs all")
+    config.addinivalue_line(
+        "markers", "quick: complement of slow, auto-applied at collection")
+
+
+# single source of tiering truth: the 8-virtual-device execution suites
+# dominate the 20+ min full run on a 1-CPU box. Everything in these files
+# is slow EXCEPT the compile-only HLO traffic audits ("hlo" in the name,
+# ~20s each) — they are the quick tier's coverage of parallel/.
+_SLOW_FILES = {"test_sharding.py", "test_mesh2.py", "test_multihost.py"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.fspath.basename in _SLOW_FILES
+                and "hlo" not in item.name):
+            item.add_marker(pytest.mark.slow)
+    # `-m quick` == everything not marked slow (auto-tag, so the two
+    # tiers partition the suite exactly)
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
 
 
 @pytest.hookimpl(hookwrapper=True)

@@ -119,11 +119,28 @@ def test_streaming_encoder(tmp_path):
     counts = np.fromfile(out + "/processed_count.bin", dtype=np.int32)
     assert label.tolist() == [1, 0, 1]
     assert counts.tolist() == [2, 2]
-    assert sparse[0].tolist() == [0, 0]
-    assert sparse[1].tolist() == [0, 1]
-    assert sparse[2].tolist() == [1, 0]
+    # sklearn-LabelEncoder parity: ids in SORTED unique-value order
+    # field0 uniques sorted: [foo, qux]; field1: [bar, baz]
+    assert sparse[0].tolist() == [0, 0]   # foo, bar
+    assert sparse[1].tolist() == [0, 1]   # foo, baz
+    assert sparse[2].tolist() == [1, 0]   # qux, bar
     assert dense[0, 0] == pytest.approx(np.log1p(3.0))
     assert dense[0, 1] == 0.0  # missing -> 0
+
+
+def test_streaming_encoder_missing_sparse_is_string_zero(tmp_path):
+    """Missing sparse cells encode as the string "0" (pandas
+    fillna("0"), process_data.py:79), merging with a real "0" value."""
+    raw = tmp_path / "raw.tsv"
+    raw.write_text("1\t1\t0\n0\t1\t\n0\t1\tz\n")
+    enc = StreamingEncoder(num_dense=1, num_sparse=1, sep="\t")
+    enc.collect(str(raw))
+    out = str(tmp_path / "out")
+    enc.encode([str(raw)], out)
+    sparse = np.fromfile(out + "/processed_sparse_sep.bin", dtype=np.int32)
+    counts = np.fromfile(out + "/processed_count.bin", dtype=np.int32)
+    assert counts.tolist() == [2]            # {"0", "z"}
+    assert sparse.tolist() == [0, 0, 1]       # missing == "0"
 
 
 def test_preprocess_cli_criteotb_day_files(tmp_path):
