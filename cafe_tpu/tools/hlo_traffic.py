@@ -119,3 +119,39 @@ def audit(jitted, *args, max_bytes: int, label: str = "") -> List[Collective]:
     """Compile and return collectives whose payload exceeds max_bytes."""
     stats = collective_stats(compiled_text(jitted, *args))
     return [c for c in stats if c.result_bytes > max_bytes]
+
+
+def model_result_bytes(m_lanes: int, dim: int, n: int, param_bytes: int,
+                       method: str = "hash", mig_cap: int = 0) -> dict:
+    """Analytic per-class prediction of the sharded step's collective
+    RESULT bytes (the quantity collective_stats measures), at
+    shard_unique_frac = 0 on a flat n-device mesh — the byte model of
+    docs/PERF.md expressed in HLO-result terms so tool and tests can
+    compare prediction to compiled reality per mesh size.
+
+    Classes (exchange.py full path):
+      ids_fwd    all_gather of the flattened int32 row ids   -> M*4
+      rows_fwd   psum_scatter of owner-computed rows         -> M/n*D*4
+      ids_bwd    all_gather of update row ids                -> M*4
+      grads_bwd  all_gather of update grads                  -> M*D*4
+      towers     DP dense-grad all-reduce                    -> P*4
+      route      (cafe) owner-answer row-map psum + score AG -> 2*M*4
+      migration  (cafe) bounded promo exchange: 3 int legs of
+                 n*cap lanes + one n*cap x D row psum
+    Wire bytes per device are the PERF.md statement: multiply AG/scatter
+    entries by (n-1)/n and psums by 2(n-1)/n.
+    """
+    out = {
+        "ids_fwd": m_lanes * 4,
+        "rows_fwd": (m_lanes + n - 1) // n * dim * 4,
+        "ids_bwd": m_lanes * 4,
+        "grads_bwd": m_lanes * dim * 4,
+        "towers": param_bytes,
+    }
+    if method == "cafe":
+        out["route"] = 2 * m_lanes * 4
+        cap = mig_cap or 256
+        out["migration"] = n * cap * (3 * 4 + dim * 4)
+    total = sum(out.values())
+    out["total"] = total
+    return out

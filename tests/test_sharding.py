@@ -898,3 +898,53 @@ class TestExplicitProductionPath:
         assert np.isfinite(float(m["loss"]))
         acc = np.asarray(jax.device_get(st.embed["part0"]["table_acc"]))
         assert (acc >= 0).all() and acc.sum() > 0
+
+
+class TestTrafficPrediction:
+    """Per-mesh-size predicted-bytes model (hlo_traffic.model_result_bytes
+    == the docs/PERF.md byte model in HLO-result terms) checked against
+    the compiled step — the scaling analogue of
+    test_two_level_outer_traffic_leq_inner's ordering assertion.
+    ("hlo" in the names keeps these in the quick tier: compile-only.)"""
+
+    def _measure(self, method, n, cr=0.2, batch=128, fields=4, dim=16):
+        from cafe_tpu.tools.hlo_traffic import collective_stats
+        from cafe_tpu.parallel import make_mesh, shard_train_step
+        cfg = Config(dataset="synthetic", embedding_dim=dim,
+                     compress_method=method, compress_rate=cr,
+                     cafe_sketch_threshold=5.0, learning_rate=0.1,
+                     synthetic_rows=4096, synthetic_fields=fields,
+                     synthetic_vocab=2 ** 17, synthetic_dense=13,
+                     mini_batch_size=batch, shard_embeddings=True)
+        from cafe_tpu.train.loop import get_dataset, build_all
+        train = get_dataset(cfg, "train")
+        mesh = make_mesh(n)
+        model, embed, state, step, _ = build_all(cfg, train, mesh=mesh)
+        sharded, st = shard_train_step(step, mesh, state,
+                                       shard_embeddings=True)
+        dense, sparse, label, valid = next(iter(
+            batch_iterator(train, batch, drop_last=True)))
+        txt = sharded.lower(st, jnp.asarray(dense), jnp.asarray(sparse),
+                            jnp.asarray(label),
+                            jnp.asarray(valid)).compile().as_text()
+        total = sum(c.result_bytes for c in collective_stats(txt))
+        params = 4 * sum(l.size for l in jax.tree.leaves(st.params))
+        return total, params, batch * fields
+
+    @pytest.mark.parametrize("n", [2, 4, 8])
+    def test_hlo_total_tracks_model_across_mesh_sizes(self, n):
+        from cafe_tpu.tools.hlo_traffic import model_result_bytes
+        total, params, m_lanes = self._measure("hash", n)
+        model = model_result_bytes(m_lanes, 16, n, params)["total"]
+        # compiled total must track the analytic model: above a floor
+        # (the exchange really happened) and under a small slack (no
+        # hidden table-sized or quadratic-in-n traffic)
+        assert 0.5 * model <= total <= 3.0 * model, (n, total, model)
+
+    @pytest.mark.parametrize("n", [2, 8])
+    def test_hlo_cafe_total_tracks_model(self, n):
+        from cafe_tpu.tools.hlo_traffic import model_result_bytes
+        total, params, m_lanes = self._measure("cafe", n, cr=0.05)
+        model = model_result_bytes(m_lanes, 16, n, params,
+                                   method="cafe")["total"]
+        assert 0.5 * model <= total <= 4.0 * model, (n, total, model)
