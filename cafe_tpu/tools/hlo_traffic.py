@@ -122,7 +122,8 @@ def audit(jitted, *args, max_bytes: int, label: str = "") -> List[Collective]:
 
 
 def model_result_bytes(m_lanes: int, dim: int, n: int, param_bytes: int,
-                       method: str = "hash", mig_cap: int = 0) -> dict:
+                       method: str = "hash", mig_cap: int = 0,
+                       hotn: int = 0) -> dict:
     """Analytic per-class prediction of the sharded step's collective
     RESULT bytes (the quantity collective_stats measures), at
     shard_unique_frac = 0 on a flat n-device mesh — the byte model of
@@ -150,7 +151,12 @@ def model_result_bytes(m_lanes: int, dim: int, n: int, param_bytes: int,
     }
     if method == "cafe":
         out["route"] = 2 * m_lanes * 4
+        # per-shard migration lanes: min(mig_lanes, s_l - 1) where s_l is
+        # the shard-local bucket count (cafe.py _apply_sharded p_cap) —
+        # at large n the shard slice, not the config cap, binds
         cap = mig_cap or 256
+        if hotn:
+            cap = min(cap, max(hotn // n - 1, 1))
         out["migration"] = n * cap * (3 * 4 + dim * 4)
     total = sum(out.values())
     out["total"] = total

@@ -40,7 +40,8 @@ from cafe_tpu.tools.hlo_traffic import (collective_stats, classify_axis,
 n = %(n)d
 inner = %(inner)d
 method = %(method)r
-batch, fields, dim = 128, 4, 16
+# batch must divide across the mesh; >= 2 rows per device
+batch, fields, dim = max(128, 2 * n), 4, 16
 cfg = Config(dataset="synthetic", embedding_dim=dim,
              compress_method=method, compress_rate=0.05,
              cafe_sketch_threshold=5.0, learning_rate=0.1,
@@ -58,8 +59,9 @@ txt = sharded.lower(st, jnp.asarray(dense), jnp.asarray(sparse),
                     jnp.asarray(valid)).compile().as_text()
 stats = collective_stats(txt)
 params = 4 * sum(l.size for l in jax.tree.leaves(st.params))
+hotn = max((getattr(p, "hotn", 0) for p in embed.parts), default=0)
 model_b = model_result_bytes(batch * fields, dim, n, params,
-                             method=method or "hash")
+                             method=method or "hash", hotn=hotn)
 per_axis = {}
 if inner:
     for c in stats:
@@ -68,7 +70,7 @@ if inner:
 table_rows = max(v.shape[0] for k, v in st.embed["part0"].items()
                  if getattr(v, "ndim", 0) == 2)
 print(json.dumps({
-    "n": n, "inner": inner, "collectives": len(stats),
+    "n": n, "inner": inner, "batch": batch, "collectives": len(stats),
     "hlo_total": sum(c.result_bytes for c in stats),
     "largest": max((c.result_bytes for c in stats), default=0),
     "model_total": model_b["total"], "model": model_b,
@@ -79,9 +81,10 @@ print(json.dumps({
 
 def run_one(n, inner, method):
     env = dict(os.environ)
-    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={n} "
-                        + env.get("XLA_FLAGS", "")).replace(
-        "xla_force_host_platform_device_count=8 ", "", 1)
+    kept = [t for t in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in t]
+    env["XLA_FLAGS"] = " ".join(
+        [f"--xla_force_host_platform_device_count={n}"] + kept)
     env.pop("PYTHONPATH", None)
     src = _CHILD % {"repo": REPO, "n": n, "inner": inner,
                     "method": method if method != "full" else None}
@@ -103,20 +106,20 @@ def main():
     meshes += [(n, 8) for n in args.sizes if n > 8]
 
     print(f"# Predicted vs compiled collective bytes — {args.method}, "
-          f"batch 128 x 4 fields, dim 16, cr 0.05, vocab 2^17\n")
-    print("| mesh | collectives | HLO total | model total | ratio | "
-          "largest op | table | per-axis |")
-    print("|---|---|---|---|---|---|---|---|")
+          f"batch max(128, 2n) x 4 fields, dim 16, cr 0.05, vocab 2^17\n")
+    print("| mesh | batch | collectives | HLO total | model total | "
+          "ratio | largest op | table | per-axis |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for n, inner in meshes:
         r = run_one(n, inner, args.method)
         shape = f"{n}" if not inner else f"{n // inner}x{inner} dcn/ici"
         if "error" in r:
-            print(f"| {shape} | ERROR | | | | | | {r['error'][:80]} |")
+            print(f"| {shape} | ERROR | | | | | | | {r['error'][:80]} |")
             continue
         ratio = r["hlo_total"] / max(r["model_total"], 1)
         ax = ", ".join(f"{k} {v/1024:.0f}K" for k, v in
                        sorted(r["per_axis"].items())) or "-"
-        print(f"| {shape} | {r['collectives']} | "
+        print(f"| {shape} | {r['batch']} | {r['collectives']} | "
               f"{r['hlo_total']/1024:.0f} KB | "
               f"{r['model_total']/1024:.0f} KB | {ratio:.2f}x | "
               f"{r['largest']/1024:.0f} KB | "
