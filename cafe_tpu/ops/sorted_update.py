@@ -1,21 +1,25 @@
-"""Scatter-free sorted-segment updates (the round-4 MFU fix).
+"""Scatter-free sorted-segment updates.
 
-XLA lowers TPU scatters with dynamic indices to a serial per-lane loop
-whose cost is memory-latency-bound (measured on v5e: ~360 us for a
-53k-lane row scatter into a 27k-row table, ~5.4 ms into a 2M-row table —
-tools/ab_scatter_vs_sorted.py). Sorted segment REDUCTIONS, in contrast,
-lower to a fast vectorized path: jax.ops.segment_sum/max with
-`indices_are_sorted=True` measures ~29 us at 53k lanes -> 27k rows
-(tools/micro_ops.py). So every hot-path scatter is re-expressed as
+Measured cost model (v5e, in-step profiles — tools/profile_train.py,
+tools/ab_scatter_vs_sorted.py, docs/r4_measurements/):
 
-    sort by destination row  ->  sorted segment reduce  ->  ONE
-    elementwise pass over the destination array
+* a plain 53k-lane row scatter-add into a 27k-row table costs ~340 us;
+  into a 2M-row table ~5.3 ms (lane cost grows with table size);
+* sorted segment reductions cost ~30-55 us per lane-channel pass at 53k
+  lanes (segment_sum [53k,16] -> [27k,16] = 537 us: LINEAR in channels,
+  not vectorized across them);
+* 53k-lane permute-gathers (grad[order]) cost ~190 us each.
 
-which is fully parallel VPU/memory-stream work. (An earlier round-4
-draft used searchsorted + cumulative-sum-difference + one-hot gathers
-for the same algebra; the in-context profile showed those primitives
-costing 200-400 us EACH at these shapes — the segment-reduce forms below
-replaced them and cut the sketch insert ~8x.)
+Consequences: for SGD (no coalesce needed) the plain scatter WINS and
+ops/sparse.apply_rows uses it; the sorted pass below wins for
+adagrad/adam on streamable tables (their torch semantics demand
+coalesce-first, after which the scatter chain costs more than one
+table pass); the sketch insert keeps the segment-reduce design because
+its writes need set-semantics with conflict resolution, not add.
+(Historical: an earlier draft used searchsorted + cumsum-difference +
+one-hot gathers — 200-400 us EACH at these shapes; the segment-reduce
+forms replaced them and cut the sketch insert ~8x, and the insert is
+now also amortized by cafe_insert_interval.)
 
 Primitives:
 
