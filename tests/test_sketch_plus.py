@@ -304,3 +304,58 @@ class TestStagingInheritance:
 
     def test_reference_semantics_without_inherit(self):
         assert self._fill_and_evict(False) == 3.0  # own count only
+
+
+class TestResetCost:
+    """VERDICT r3 item 6: the adaptive-threshold reset (a jitted global
+    rank over all candidate cells, hotsketch_plus._reset) must not stall
+    the stream — a reset-heavy stream stays within 2x the steady-state
+    stream. tools/reset_cost.py measures the same thing at CriteoTB
+    scale on chip."""
+
+    @pytest.mark.timeout(300)
+    def test_reset_heavy_stream_within_2x_steady(self):
+        import time
+        import jax
+
+        cfg = CafePlusConfig(lim=2048, threshold=2.0)
+        st0 = init_sketch_plus(cfg)
+        b = 4096
+        rng = np.random.default_rng(0)
+        steps = [
+            (jnp.asarray(np.minimum(rng.zipf(1.05, b), 1 << 20)
+                         .astype(np.int32)),
+             jnp.asarray(rng.random(b, dtype=np.float32) * 4.0))
+            for _ in range(12)
+        ]
+
+        trip = int(cfg.lim * 1.2)
+
+        def run(heavy):
+            st = st0
+            fires = 0
+            for ids, sc in steps:
+                if not heavy:
+                    st = st._replace(real_n=jnp.asarray(0, jnp.int32))
+                fires += int(st.real_n) > trip
+                st, _ = sketch_insert_plus(cfg, st, ids, sc)
+            jax.block_until_ready(st)
+            return fires
+
+        run(True)   # compile + warm
+        run(False)
+        heavy_t, steady_t, fires = [], [], 0
+        for _ in range(3):  # interleaved windows damp CPU noise
+            t0 = time.perf_counter()
+            fires = run(True)
+            heavy_t.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            run(False)
+            steady_t.append(time.perf_counter() - t0)
+        heavy = float(np.median(heavy_t))
+        steady = float(np.median(steady_t))
+        # the stream must actually be reset-heavy for the bound to mean
+        # anything (low threshold + heavy-tailed zipf trips it often)
+        assert fires >= 3, f"only {fires} resets fired in 12 steps"
+        assert heavy <= 2.0 * steady, (
+            f"reset-heavy stream {heavy:.3f}s > 2x steady {steady:.3f}s")
