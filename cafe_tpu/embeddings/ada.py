@@ -321,9 +321,13 @@ class AdaPart(Part):
         dic = dic_l.at[jnp.where(write, admit_pos, L)].set(
             slots_glob, mode="drop")
         dic = jnp.where(evict, 0, dic)
-        wslot_loc = jnp.where(write, slots_glob - lo_slot, W_l)
-        w_l = w_l.at[wslot_loc].set(0.0, mode="drop")
-        sl = {k: (v.at[wslot_loc].set(0.0, mode="drop")
+        # mask-multiply instead of an L-lane zero-row scatter (same
+        # [L, dim] broadcast blowup as the single-chip rebuild): kept
+        # slots survive, the whole free set zeroes — identical to
+        # zeroing just the admitted subset since free slots are
+        # unreferenced until admitted.
+        w_l = jnp.where(used[:, None], w_l, 0.0)
+        sl = {k: (jnp.where(used[:, None], v, 0.0)
                   if getattr(v, "ndim", 0) == 2 else v)
               for k, v in sl.items()}
         return w_l, sl, dic, gn_l
@@ -453,14 +457,21 @@ class AdaPart(Part):
         dic = state["dic"].at[jnp.where(write, admit_pos, np_pad)].set(
             slots, mode="drop")
         dic = jnp.where(evict, 0, dic)
-        wslots = jnp.where(write, slots, state["weight"].shape[0])
-        weight = state["weight"].at[wslots].set(0.0, mode="drop")
+        # zero every non-kept slot with a fused mask-multiply, NOT a
+        # scatter of zero-rows indexed by the np_pad-long lane vector:
+        # XLA materializes that scatter's updates operand as a
+        # [np_pad, dim] broadcast (17 GB at CriteoTB vocab x dim 128 —
+        # observed HBM OOM). Free slots are unreferenced until admitted,
+        # so zeroing the whole free set == zeroing the admitted subset;
+        # `used` keeps exactly the kept slots (+ the slot-0 sentinel,
+        # which is always zero anyway).
+        weight = jnp.where(used[:, None], state["weight"], 0.0)
         out = {**state, "dic": dic, "weight": weight}
         # recycled slots restart their optimizer state too (adagrad acc /
         # adam moments); adam's step scalar is table-global and stays
         from ..ops.sparse import SLOT_SUFFIXES
         for sfx in SLOT_SUFFIXES[self.optimizer].values():
             if state["weight" + sfx].ndim == 2:
-                out["weight" + sfx] = state["weight" + sfx].at[wslots].set(
-                    0.0, mode="drop")
+                out["weight" + sfx] = jnp.where(
+                    used[:, None], state["weight" + sfx], 0.0)
         return out
