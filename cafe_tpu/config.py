@@ -60,6 +60,9 @@ class Config:
                                        # sharded step; x16 (min 4096) on a single
                                        # device. Promotions beyond it are reverted
                                        # losslessly and retry on the next touch
+    cafe_land_impl: str = "segmax"     # insert landing reduction: segmax /
+                                       # segsum1 / scan (ops/sorted_update.
+                                       # land_max; A/B tools/ab_insert_land.py)
     cafe_insert_interval: int = 1      # feed grad-norm scores to the sketch every
                                        # k-th step (scores x k preserve expected
                                        # mass). 1 = reference-exact (insert after
@@ -127,6 +130,12 @@ class Config:
     shard_exchange: str = "explicit"   # explicit: shard_map dedup+AG/psum-scatter
                                        #   exchange with SHARD-LOCAL sketch
                                        #   (O(batch) traffic, HLO-verified)
+                                       # a2a: request-routed all-to-all row legs
+                                       #   (~n-fold fewer wire bytes; flat 1-D
+                                       #   mesh; skew falls back to explicit)
+                                       # pallas: a2a via direct remote DMAs
+                                       #   (ops/pallas_a2a.py; identity-ordered
+                                       #   1-D mesh only)
                                        # auto: XLA SPMD partitioner derives the
                                        #   collectives (always bit-equal to the
                                        #   single-device step)
@@ -137,6 +146,10 @@ class Config:
                                        # any device sees more uniques (Zipf
                                        # streams: uniques are 2-5x fewer)
     bf16: bool = False                 # bfloat16 matmuls in the dense towers
+    sparse_apply_impl: str = "auto"    # sgd sparse apply: auto (pallas RMW
+                                       # kernel for HBM-class tables on TPU,
+                                       # XLA scatter otherwise) / scatter /
+                                       # pallas (ops/sparse.apply_rows)
     # multi-host (pod) execution: every process runs the same program;
     # jax.distributed stitches their local chips into one global mesh and
     # each process feeds its slice of every batch (SURVEY.md §2.6 — the

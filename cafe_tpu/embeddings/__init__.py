@@ -32,6 +32,10 @@ def build_embedding_layer(cfg, counts, dim: int,
     counts = [int(c) for c in counts]
     nf = len(counts)
     method = cfg.method
+    # sparse-apply implementation override (ops/sparse.APPLY_IMPL is a
+    # trace-time module switch; set before any step is traced)
+    from ..ops import sparse as _sparse
+    _sparse.APPLY_IMPL = getattr(cfg, "sparse_apply_impl", "auto")
     cr = cfg.compress_rate
     opt = cfg.optimizer
     th = sizing.compress_threshold(cr)
@@ -101,7 +105,8 @@ def build_embedding_layer(cfg, counts, dim: int,
             mig_lanes=getattr(cfg, "cafe_mig_lanes", 256),
             plus_inherit=getattr(cfg, "cafe_plus_inherit", False),
             plus_staging_frac=sfrac,
-            insert_interval=getattr(cfg, "cafe_insert_interval", 1))
+            insert_interval=getattr(cfg, "cafe_insert_interval", 1),
+            land_impl=getattr(cfg, "cafe_land_impl", "segmax"))
         if cfg.cafe_hot_separate_field:
             for i in big:
                 hotn = sizing.cafe_field_hotn(counts[i], cr, dim,

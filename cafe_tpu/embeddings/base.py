@@ -71,6 +71,34 @@ class Part:
     # unique-compact exchange knob (exchange.unique_cap): fraction of the
     # flattened batch to budget for distinct ids; 0 = full-size buffers
     unique_frac = 0.0
+    # exchange mode for the heavy row legs (--shard_exchange):
+    #   'explicit'         AG + owner-compute + psum_scatter (default)
+    #   'a2a'              request-routed lax.all_to_all (~n-fold fewer
+    #                      wire bytes on the row legs, exchange.py)
+    #   'pallas'           a2a with the remote-DMA kernel (pallas_a2a.py)
+    #   'pallas_interpret' same, CPU-emulated (tests)
+    exchange_mode = "explicit"
+
+    def _sharded_fetch(self, table, flat):
+        """The configured row-fetch exchange (see exchange_mode)."""
+        from ..parallel.exchange import sharded_fetch, sharded_fetch_a2a
+        if self.exchange_mode != "explicit":
+            return sharded_fetch_a2a(
+                self.mesh, table, flat,
+                impl="lax" if self.exchange_mode == "a2a"
+                else self.exchange_mode)
+        return sharded_fetch(self.mesh, table, flat, self.unique_frac)
+
+    def _sharded_apply(self, table, slots, idx2d, g3d, lr):
+        """The configured row-update exchange (see exchange_mode)."""
+        from ..parallel.exchange import sharded_apply, sharded_apply_a2a
+        if self.exchange_mode != "explicit":
+            return sharded_apply_a2a(
+                self.mesh, table, slots, idx2d, g3d, lr, self.optimizer,
+                impl="lax" if self.exchange_mode == "a2a"
+                else self.exchange_mode)
+        return sharded_apply(self.mesh, table, slots, idx2d, g3d, lr,
+                             self.optimizer, self.unique_frac)
 
     def init(self, rng: np.random.Generator) -> Dict:
         raise NotImplementedError
@@ -192,9 +220,7 @@ class HashedTablePart(Part):
         off = jnp.asarray(self.np_offsets, dtype=jnp.int32)
         flat = (ids % real[None, :]) + off[None, :]
         if self.mesh is not None:
-            from ..parallel.exchange import sharded_fetch
-            rows = sharded_fetch(self.mesh, state["table"], flat,
-                                 self.unique_frac)
+            rows = self._sharded_fetch(state["table"], flat)
         else:
             rows = state["table"][flat]
         if self.weighted:
@@ -237,11 +263,8 @@ class HashedTablePart(Part):
             b, f, d = g3d.shape
             return self._table_update(state, key, idx2d.reshape(b * f),
                                       g3d.reshape(b * f, d), lr)
-        from ..parallel.exchange import sharded_apply
-        table, slots = sharded_apply(self.mesh, state[key],
-                                     self._slots_of(state, key), idx2d,
-                                     g3d, lr, self.optimizer,
-                                     self.unique_frac)
+        table, slots = self._sharded_apply(
+            state[key], self._slots_of(state, key), idx2d, g3d, lr)
         return self._put_slots({**state, key: table}, key, slots)
 
     def quantize_for_serving(self, state, bits):
@@ -321,9 +344,7 @@ class QRPart(Part):
     def gather(self, state, ids):
         qi, ri = self._rows(ids)
         if self.mesh is not None:
-            from ..parallel.exchange import sharded_fetch
-            qv = sharded_fetch(self.mesh, state["q"], qi,
-                               self.unique_frac)
+            qv = self._sharded_fetch(state["q"], qi)
         else:
             qv = state["q"][qi]
         rv = state["r"][ri]
@@ -351,11 +372,8 @@ class QRPart(Part):
             gq = g_raw[..., :self.q_dim]
             gr = g_raw[..., self.q_dim:]
         if self.mesh is not None:
-            from ..parallel.exchange import sharded_apply
-            q_tbl, slots = sharded_apply(self.mesh, state["q"],
-                                         self._slots_of(state, "q"), qi,
-                                         gq, lr, self.optimizer,
-                                         self.unique_frac)
+            q_tbl, slots = self._sharded_apply(
+                state["q"], self._slots_of(state, "q"), qi, gq, lr)
             state = self._put_slots({**state, "q": q_tbl}, "q", slots)
         else:
             state = self._table_update(state, "q", qi.reshape(-1),
@@ -577,11 +595,9 @@ class OffPart(Part):
         row, use_hot = aux
         b, f, d = g_raw.shape
         if self.mesh is not None:
-            from ..parallel.exchange import sharded_apply
-            table, slots = sharded_apply(
-                self.mesh, state["table"], self._slots_of(state, "table"),
-                row, g_raw, lr, self.optimizer,
-                self.unique_frac)
+            table, slots = self._sharded_apply(
+                state["table"], self._slots_of(state, "table"), row,
+                g_raw, lr)
             return self._put_slots({**state, "table": table}, "table",
                                    slots), {}
         state = self._table_update(state, "table", row.reshape(b * f),
@@ -658,18 +674,21 @@ class EmbeddingLayer:
         order = np.concatenate([p.field_idx for p in parts]).astype(np.int64)
         self._perm = np.argsort(order)
 
-    def set_mesh(self, mesh, unique_frac: float = 0.0) -> List[str]:
+    def set_mesh(self, mesh, unique_frac: float = 0.0,
+                 exchange_mode: str = "explicit") -> List[str]:
         """Activate the explicit SPMD exchange (parallel/exchange.py) on
         every part that supports it — big hashed tables and CAFE parts
         (with shard-local sketches). Must run BEFORE init(); returns the
         names of the parts that activated (the rest stay replicated or
         auto-partitioned). unique_frac > 0 turns on the capacity-bounded
         unique-compact exchange on the parts that use the generic
-        fetch/apply."""
+        fetch/apply. exchange_mode selects the heavy row-leg collective
+        (see Part.exchange_mode: explicit / a2a / pallas)."""
         active = []
         for i, p in enumerate(self.parts):
             if p.enable_mesh(mesh):
                 p.unique_frac = float(unique_frac)
+                p.exchange_mode = exchange_mode
                 active.append(f"part{i}:{type(p).__name__}")
         return active
 

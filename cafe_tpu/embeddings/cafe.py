@@ -60,7 +60,8 @@ class CafePart(Part):
                  use_freq: bool = False, plus: bool = False,
                  adjust_threshold: bool = True, alpha: float = 1.000001,
                  mig_lanes: int = 256, plus_inherit: bool = False,
-                 plus_staging_frac: float = 0.1, insert_interval: int = 1):
+                 plus_staging_frac: float = 0.1, insert_interval: int = 1,
+                 land_impl: str = "segmax"):
         self.field_idx = list(field_idx)
         self.counts = [int(c) for c in counts]
         self.global_offsets = [int(o) for o in global_offsets]
@@ -106,9 +107,14 @@ class CafePart(Part):
             self._sk_revert = revert_promotions_plus
         else:
             from ..sketch.hotsketch import revert_promotions
+            # exclusive bound on offset ids this part can insert — lets
+            # the landing pack (cell, id) into one channel when < 2^27
+            max_oid = max(o + n for o, n in zip(self.global_offsets,
+                                               self.counts))
             self.sketch_cfg = HotSketchConfig(
                 buckets=self.hotn, threshold=float(sketch_threshold),
-                decay=float(sketch_decay))
+                decay=float(sketch_decay), land_impl=land_impl,
+                max_id=int(max_oid))
             self._sk_init = init_sketch
             self._sk_query = sketch_query
             self._sk_insert = sketch_insert
@@ -327,9 +333,7 @@ class CafePart(Part):
             in_specs=(sk_specs, P(AXIS, None)),
             out_specs=(P(AXIS, None), P(AXIS, None)),
         )(sk, oids)
-        from ..parallel.exchange import sharded_fetch
-        raw = sharded_fetch(self.mesh, state["table"], row,
-                            self.unique_frac)
+        raw = self._sharded_fetch(state["table"], row)
         return raw, (oids, row, is_hot)
 
     def apply_grads(self, state: Dict, ids: jnp.ndarray, g_raw: jnp.ndarray,
@@ -638,10 +642,8 @@ class CafePart(Part):
         # ---- row updates: migration happens BEFORE the optimizer touch
         # (reference insert_grad-then-step order, main.py:376-377);
         # sharded_apply dedups per device and is hierarchical/compacting
-        from ..parallel.exchange import sharded_apply
-        table, slots_out = sharded_apply(
-            self.mesh, table, slots_mig, row, g_raw, lr, self.optimizer,
-            self.unique_frac)
+        table, slots_out = self._sharded_apply(table, slots_mig, row,
+                                               g_raw, lr)
 
         out = self._put_slots(
             {**state, "table": table, "sketch": new_sk,

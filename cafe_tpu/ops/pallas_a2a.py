@@ -19,17 +19,41 @@ mesh (tests/test_pallas_a2a.py), which emulates the remote DMAs and the
 barrier semaphore — the multi-chip path stays testable without multi-
 chip hardware. On a real pod slice the same kernel compiles with
 `interpret=False` and a `collective_id` for the barrier.
+
+MESH-ORDER REQUIREMENT (round-4 advisor): the kernel addresses peers by
+`jax.lax.axis_index` arithmetic with `DeviceIdType.LOGICAL`, which is
+correct only when the mesh's device order matches logical device order —
+i.e. a 1-D mesh built from `jax.devices()` in order (what
+parallel.make_mesh constructs, and what the exchange's entry points
+assert). On a permuted or multi-axis mesh the remote writes would land
+on the wrong peer; map through mesh coordinates before lifting that
+restriction. Selectable in production via `--shard_exchange pallas`
+(parallel/exchange.py routes its request/row all-to-all legs here).
 """
 
 from __future__ import annotations
 
 import functools
+import itertools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
+
+# Central collective_id allocation (round-4 advisor: a hardcoded
+# constant can collide with another concurrently compiled collective
+# kernel). Each pallas_call SITE draws a distinct id at trace time;
+# tracing order is identical on every device of an SPMD program, so the
+# ids agree across the mesh. Mosaic requires ids < 64; wraparound would
+# only collide if >63 distinct collective kernels were live in ONE
+# compiled program.
+_CID_COUNTER = itertools.count(1)
+
+
+def alloc_collective_id() -> int:
+    return next(_CID_COUNTER) % 64
 
 def _shard_map_unchecked(f, mesh, in_specs, out_specs):
     # check_vma=False: the pallas interpret-mode machinery mixes
@@ -48,13 +72,17 @@ def _a2a_kernel(n: int, axis: str, in_ref, out_ref, send_sem, recv_sem):
     my_id = jax.lax.axis_index(axis)
 
     # Barrier: every peer must have entered the kernel (its out_ref
-    # allocated) before anyone writes into remote memory.
-    barrier = pltpu.get_barrier_semaphore()
-    for k in range(1, n):
-        pltpu.semaphore_signal(
-            barrier, 1, device_id=(my_id + k) % n,
-            device_id_type=pltpu.DeviceIdType.LOGICAL)
-    pltpu.semaphore_wait(barrier, n - 1)
+    # allocated) before anyone writes into remote memory. Skipped at
+    # n == 1 (no peers): Mosaic refuses to EMIT get_barrier_semaphore
+    # without the barrier-sync runtime flag, and the single-device
+    # compile smoke (tools/pallas_a2a_smoke.py) must stay flag-free.
+    if n > 1:
+        barrier = pltpu.get_barrier_semaphore()
+        for k in range(1, n):
+            pltpu.semaphore_signal(
+                barrier, 1, device_id=(my_id + k) % n,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_wait(barrier, n - 1)
 
     # local chunk: out[my_id] = in[my_id]
     out_ref[my_id] = in_ref[my_id]
@@ -80,9 +108,38 @@ def _a2a_kernel(n: int, axis: str, in_ref, out_ref, send_sem, recv_sem):
         c.wait()
 
 
+def a2a_shard(xs: jnp.ndarray, n: int, axis: str,
+              interpret: bool = False,
+              collective_id: int | None = None) -> jnp.ndarray:
+    """The per-shard pallas all-to-all: call INSIDE shard_map over a 1-D
+    identity-ordered mesh axis (see module docstring). xs [n, ...]: chunk
+    j destined for peer j; returns [n, ...] with chunk s received from
+    peer s. Used by parallel.exchange's `--shard_exchange pallas` legs."""
+    kernel = functools.partial(_a2a_kernel, n, axis)
+    if n == 1:
+        # no barrier at n=1 (see _a2a_kernel) — Mosaic then requires
+        # collective_id be left unset
+        cid = None
+    else:
+        cid = (alloc_collective_id() if collective_id is None
+               else collective_id)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(xs.shape, xs.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA((max(n - 1, 1),)),
+            pltpu.SemaphoreType.DMA((max(n - 1, 1),)),
+        ],
+        compiler_params=pltpu.CompilerParams(collective_id=cid),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(xs)
+
+
 def pallas_all_to_all(x: jnp.ndarray, mesh, axis: str = "x",
                       interpret: bool = False,
-                      collective_id: int = 7) -> jnp.ndarray:
+                      collective_id: int | None = None) -> jnp.ndarray:
     """lax.all_to_all over `axis` via direct remote DMAs.
 
     x: globally [n*n, C, D] sharded P(axis) — each device holds [n, C, D],
@@ -91,21 +148,7 @@ def pallas_all_to_all(x: jnp.ndarray, mesh, axis: str = "x",
     """
     n = mesh.shape[axis]
 
-    kernel = functools.partial(_a2a_kernel, n, axis)
-
     def per_shard(xs):
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct(xs.shape, xs.dtype),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.SemaphoreType.DMA((n - 1,)),
-                pltpu.SemaphoreType.DMA((n - 1,)),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                collective_id=collective_id),
-            interpret=(pltpu.InterpretParams() if interpret else False),
-        )(xs)
+        return a2a_shard(xs, n, axis, interpret, collective_id)
 
     return _shard_map_unchecked(per_shard, mesh, P(axis), P(axis))(x)

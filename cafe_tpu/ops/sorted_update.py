@@ -72,6 +72,54 @@ def seg_max(vals: jnp.ndarray, keys: jnp.ndarray, n_rows: int,
                                indices_are_sorted=sorted)
 
 
+def _prev(x: jnp.ndarray, fill) -> jnp.ndarray:
+    return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+
+def land_max(enc: jnp.ndarray, sorted_keys: jnp.ndarray, n_rows: int,
+             impl: str = "segmax") -> jnp.ndarray:
+    """Segment-max landing for (-1)-encoded single-writer payloads:
+    enc [B, C] int32 (>= 0 on at most one lane per (segment, channel),
+    -1 elsewhere), sorted_keys [B] (>= n_rows dropped) -> [B-free]
+    [n_rows, C] with -1 where no writer. Three interchangeable
+    implementations for the insert's one B-lane landing (the costliest
+    op in the sketch insert; A/B'd on chip, tools/ab_insert_land.py):
+
+    * 'segmax'   jax.ops.segment_max — XLA's serial per-lane reduce loop
+                 (~1.1 ns per lane*channel).
+    * 'segsum1'  segment_sum of (enc + 1): the single-writer invariant
+                 makes sum == the writer's payload + 1; 0 == no writer.
+                 Same loop, measured cheaper per channel.
+    * 'scan'     segmented cummax via one log-depth associative scan +
+                 a per-row gather of each segment's END lane — fully
+                 vectorized, no serial reduce at all. Segment end lanes
+                 come from a 1-channel histogram cumsum.
+    """
+    if impl == "segmax":
+        # clamp empty segments (INT_MIN) to -1 so every impl returns the
+        # same encoding (consumers only test >= 0; fused, free)
+        return jnp.maximum(seg_max(enc, sorted_keys, n_rows), -1)
+    if impl == "segsum1":
+        s = jax.ops.segment_sum(enc + 1, sorted_keys, num_segments=n_rows,
+                                indices_are_sorted=True)
+        return s - 1
+    # 'scan': inclusive segmented cummax over the sorted lanes
+    head = (sorted_keys != _prev(sorted_keys, -1))[:, None]
+
+    def comb(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, jnp.maximum(av, bv))
+
+    _, scanned = jax.lax.associative_scan(comb, (head, enc), axis=0)
+    ones = (sorted_keys < n_rows).astype(jnp.int32)
+    cnt = jax.ops.segment_sum(ones, sorted_keys, num_segments=n_rows,
+                              indices_are_sorted=True)
+    ends = jnp.cumsum(cnt) - 1                       # [n_rows]
+    mx = scanned[jnp.clip(ends, 0, enc.shape[0] - 1)]
+    return jnp.where((cnt > 0)[:, None], mx, -1)
+
+
 def set_rows_max(dest: jnp.ndarray, payload_enc: jnp.ndarray,
                  sorted_keys: jnp.ndarray) -> jnp.ndarray:
     """Scatter-set `dest[k[i], c] = payload` for writes with AT MOST ONE

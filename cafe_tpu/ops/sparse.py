@@ -143,6 +143,46 @@ def init_slots(table: jnp.ndarray, optimizer: str) -> dict:
     return {}
 
 
+# SGD apply into tables at least this many rows uses the pallas
+# read-modify-write kernel (ops/pallas_apply.py) instead of XLA's
+# scatter on the TPU backend: XLA scatter into HBM-resident tables runs
+# ~180 ns/lane (9.6 ms at CriteoTB dim-128 shapes) vs the kernel's
+# deep-DMA-queue RMW at the ~2x gather wall. VMEM-class tables keep the
+# plain scatter (A/B: tools/ab_apply128.py). Threshold ~= rows where a
+# dim-128 f32 table stops fitting VMEM-resident scatter behavior.
+PALLAS_APPLY_MIN_ROWS = 1 << 20
+
+# module-level override for A/B runs: 'auto' (rule above), 'scatter',
+# 'pallas' — set by build_embedding_layer from cfg.sparse_apply_impl
+# BEFORE tracing (trace-time read; documented global)
+APPLY_IMPL = "auto"
+
+
+PALLAS_APPLY_AUTO = True   # confirmed on chip 2026-08-20: numerics pass
+                           # (max_abs_err 7.4e-6 with the HIGHEST-
+                           # precision combine) and 3.11 ms vs XLA
+                           # scatter's 10.17 ms (donated: 4.84 ms) at
+                           # CriteoTB shapes (docs/r5_measurements/
+                           # ab_apply128.txt)
+
+
+def _use_pallas_apply(n_rows: int, dim: int) -> bool:
+    if APPLY_IMPL == "scatter":
+        return False
+    if APPLY_IMPL == "pallas":
+        return True
+    # auto: only the chip-validated case — HBM-class table, lane-width-
+    # aligned rows (dim 16 rows fail Mosaic's DMA lowering; they never
+    # qualify anyway under the row threshold in practice)
+    if not PALLAS_APPLY_AUTO or n_rows < PALLAS_APPLY_MIN_ROWS \
+            or dim % 128 != 0:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
 def apply_rows(table: jnp.ndarray, slots: dict, idx: jnp.ndarray,
                grad: jnp.ndarray, lr: float, optimizer: str,
                table_pass: bool | None = None):
@@ -156,7 +196,13 @@ def apply_rows(table: jnp.ndarray, slots: dict, idx: jnp.ndarray,
     — so SGD always scatters. Adagrad/adam must coalesce duplicates
     FIRST (torch semantics) and then pay several scatters/gathers, which
     loses to the pass whenever the table is small enough to stream
-    (use_table_pass); big tables scatter either way."""
+    (use_table_pass); big tables scatter either way. SGD into HBM-class
+    tables (>= PALLAS_APPLY_MIN_ROWS rows, TPU backend) routes to the
+    pallas RMW kernel instead of XLA's serialized scatter."""
+    if optimizer == "sgd" and _use_pallas_apply(*table.shape):
+        from .pallas_apply import pallas_scatter_add
+        upd = (-lr * grad).astype(table.dtype)
+        return pallas_scatter_add(table, idx, upd), {}
     if table_pass is None:
         if optimizer == "sgd":
             table_pass = False

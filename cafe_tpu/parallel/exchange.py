@@ -212,6 +212,177 @@ def sharded_fetch(mesh: Mesh, table: jnp.ndarray, idx: jnp.ndarray,
                      out_specs=P(axes, None, None))(table, idx)
 
 
+def a2a_cap(m: int, n: int, slack: float = 1.5) -> int:
+    """Per-peer request capacity for the all-to-all exchange: a uniform
+    owner hash puts ~m/n lanes on each peer; `slack` absorbs skew
+    (overflow falls back to the full explicit path). Multiple of 128 for
+    pallas block friendliness."""
+    c = int(m / n * slack) + 1
+    c = ((c + 127) // 128) * 128
+    return min(c, ((m + 127) // 128) * 128)
+
+
+def route_to_owners(flat: jnp.ndarray, rows_l: int, n: int, cap: int):
+    """Partition a device's m global row ids by owner shard (range
+    sharding: owner = id // rows_l) into a [n, cap] request buffer.
+
+    Returns (reqs [n, cap] int32 with DROP_ROW padding, owner [m],
+    slot [m], overflow [] bool). (owner[i], slot[i]) locates lane i's
+    answer in the returned [n, cap, D] row buffer. Lanes with ids >=
+    n*rows_l (DROP_ROW padding) are not shipped. All lane logic — one
+    sort + scans, no serial scatter beyond the m-lane request fill."""
+    m = flat.shape[0]
+    valid = flat < rows_l * n
+    okey = jnp.where(valid, flat // rows_l, n).astype(jnp.int32)
+    order = jnp.argsort(okey, stable=True).astype(jnp.int32)
+    so = okey[order]
+    idx = jnp.arange(m, dtype=jnp.int32)
+    head = jnp.concatenate([jnp.ones((1,), bool), so[1:] != so[:-1]])
+    start = jax.lax.cummax(jnp.where(head, idx, 0))
+    slot_sorted = idx - start
+    ok = (so < n) & (slot_sorted < cap)
+    pos = jnp.where(ok, so * cap + slot_sorted, n * cap)
+    reqs = jnp.full((n * cap + 1,), DROP_ROW, jnp.int32).at[pos].set(
+        flat[order], mode="drop")[: n * cap].reshape(n, cap)
+    slot = jnp.zeros((m,), jnp.int32).at[order].set(slot_sorted)
+    overflow = jnp.any((so < n) & (slot_sorted >= cap))
+    return reqs, okey, slot, overflow
+
+
+def _smap_for(impl: str):
+    """shard_map flavor for an exchange: the pallas kernel's outputs
+    carry no vma annotation, so the strict vma checker rejects them —
+    use the unchecked wrapper there (correctness is pinned by the
+    equivalence tests, tests/test_a2a_exchange.py)."""
+    if impl.startswith("pallas"):
+        from ..ops.pallas_a2a import _shard_map_unchecked
+        return _shard_map_unchecked
+    return shard_map
+
+
+def _a2a(xs: jnp.ndarray, axes, n: int, impl: str) -> jnp.ndarray:
+    """One all-to-all over the (single) mesh axis: xs [n, ...] chunk j to
+    peer j -> [n, ...] chunk s from peer s. impl: 'lax' (XLA collective)
+    or 'pallas'/'pallas_interpret' (direct remote DMAs,
+    ops/pallas_a2a.py — 1-D identity-ordered mesh only)."""
+    ax = axes[0] if isinstance(axes, tuple) else axes
+    if impl.startswith("pallas"):
+        from ..ops.pallas_a2a import a2a_shard
+        return a2a_shard(xs, n, ax, interpret=impl.endswith("interpret"))
+    return jax.lax.all_to_all(xs, ax, split_axis=0, concat_axis=0,
+                              tiled=True)
+
+
+def sharded_fetch_a2a(mesh: Mesh, table: jnp.ndarray, idx: jnp.ndarray,
+                      slack: float = 1.5, impl: str = "lax"
+                      ) -> jnp.ndarray:
+    """Request-routed all-to-all forward: instead of owner-compute over
+    the ALL-GATHERED id list + a psum_scatter whose lanes are mostly
+    zeros (sharded_fetch ships ~m*D*4*(n-1) bytes/device), each device
+    sends each owner only the ids it needs and receives only those rows:
+    ~m*4 + m*D*4*(n-1)/n bytes/device — an ~n-fold wire reduction on the
+    row leg. Skew beyond the per-peer capacity falls back to the full
+    explicit path (replicated pmax cond). Flat 1-axis mesh only (the
+    two-level hierarchical exchange keeps the explicit path).
+
+    impl='pallas' swaps the XLA collective for the remote-DMA kernel
+    (ops/pallas_a2a.py; 'pallas_interpret' for the CPU-emulated tests)."""
+    axes = mesh_axes(mesh)
+    if len(axes) != 1:
+        return sharded_fetch(mesh, table, idx, 0.0)
+    n = int(mesh.devices.size)
+    smap = _smap_for(impl)
+
+    def f(tbl, idx_l):
+        b, fld = idx_l.shape
+        m = b * fld
+        flat = idx_l.reshape(m)
+        rows_l = tbl.shape[0]
+        cap = a2a_cap(m, n, slack)
+
+        def full_path(_):
+            all_idx = jax.lax.all_gather(flat, axes, tiled=True)
+            rows = _owner_rows(tbl, all_idx, axes)
+            return jax.lax.psum_scatter(rows, axes, scatter_dimension=0,
+                                        tiled=True)
+
+        reqs, owner, slot, overflow = route_to_owners(flat, rows_l, n, cap)
+        over = jax.lax.pmax(overflow, axes)
+
+        def a2a_path(_):
+            got = _a2a(reqs, axes, n, impl)          # [n, cap] ids I own
+            loc = _local_idx(rows_l, got.reshape(-1), axes)
+            rows = tbl[jnp.clip(loc, 0, rows_l - 1)]
+            rows = jnp.where((loc < rows_l)[:, None], rows, 0)
+            back = _a2a(rows.reshape(n, cap, -1), axes, n, impl)
+            mine = back.reshape(n * cap, -1)[
+                jnp.clip(owner, 0, n - 1) * cap + slot]
+            return jnp.where((owner < n)[:, None], mine, 0)
+
+        out = jax.lax.cond(over, full_path, a2a_path, None)
+        return out.reshape(b, fld, -1)
+
+    return smap(f, mesh, in_specs=(P(axes, None), P(axes, None)),
+                out_specs=P(axes, None, None))(table, idx)
+
+
+def sharded_apply_a2a(mesh: Mesh, table: jnp.ndarray, slots,
+                      idx: jnp.ndarray, grad: jnp.ndarray, lr,
+                      optimizer: str, slack: float = 1.5,
+                      impl: str = "lax"):
+    """Owner-routed all-to-all backward: duplicates coalesce locally,
+    then each (id, grad-row) pair ships ONLY to its owner —
+    ~m*(D+1)*4*(n-1)/n bytes/device vs the explicit path's all-gather of
+    every device's full (id, grad) buffers (~m*(D+1)*4*(n-1)). Overflow
+    and two-level meshes fall back to the explicit path."""
+    axes = mesh_axes(mesh)
+    if len(axes) != 1:
+        return sharded_apply(mesh, table, slots, idx, grad, lr, optimizer)
+    n = int(mesh.devices.size)
+    smap = _smap_for(impl)
+
+    def f(tbl, sl, idx_l, g_l):
+        m = idx_l.size
+        flat = idx_l.reshape(m)
+        g = g_l.reshape(m, -1)
+        rows_l = tbl.shape[0]
+        cap = a2a_cap(m, n, slack)
+
+        def apply_full(_):
+            fi, fg = coalesce(flat, g, drop_sentinel=int(DROP_ROW))
+            ai = jax.lax.all_gather(fi, axes, tiled=True)
+            ag = jax.lax.all_gather(fg, axes, tiled=True)
+            return apply_rows(tbl, sl, _local_idx(rows_l, ai, axes), ag,
+                              lr, optimizer)
+
+        fi, fg = coalesce(flat, g, drop_sentinel=int(DROP_ROW))
+        reqs, owner, slot, overflow = route_to_owners(fi, rows_l, n, cap)
+        over = jax.lax.pmax(overflow, axes)
+
+        def a2a_path(_):
+            # grads ride the same (owner, slot) routing as the ids
+            pos = jnp.where(owner < n,
+                            jnp.clip(owner, 0, n - 1) * cap + slot,
+                            n * cap)
+            gbuf = jnp.zeros((n * cap + 1, g.shape[1]), g.dtype).at[
+                pos].set(fg, mode="drop")[: n * cap]
+            ids_in = _a2a(reqs, axes, n, impl).reshape(-1)
+            g_in = _a2a(gbuf.reshape(n, cap, -1), axes, n,
+                        impl).reshape(n * cap, -1)
+            return apply_rows(tbl, sl, _local_idx(rows_l, ids_in, axes),
+                              g_in, lr, optimizer)
+
+        return jax.lax.cond(over, apply_full, a2a_path, None)
+
+    specs = slot_specs(slots, axes)
+    return smap(
+        f, mesh,
+        in_specs=(P(axes, None), specs, P(axes, None),
+                  P(axes, None, None)),
+        out_specs=(P(axes, None), specs),
+    )(table, slots, idx, grad)
+
+
 def slot_specs(slots, axes=AXIS):
     """PartitionSpecs for an optimizer-slot dict: row-shaped slots (adagrad
     acc, adam m/v) shard with the table; scalars (adam's t) replicate."""

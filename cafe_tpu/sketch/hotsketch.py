@@ -59,6 +59,14 @@ class HotSketchConfig(NamedTuple):
     decay: float = 0.99   # multiplicative decay rate
     cells: int = 4        # C cells per bucket
     insert_rounds: int = 2  # conflict-resolution rounds for new-id placement
+    # implementation of the insert's B-lane landing reduction
+    # (ops/sorted_update.land_max; A/B'd on chip, tools/ab_insert_land.py)
+    land_impl: str = "segmax"
+    # exclusive upper bound on inserted ids, when known (CafePart passes
+    # the total offset-id space). Ids below 2^27 let the landing pack
+    # (cell, id) into ONE channel — C+1 landing channels instead of 2C;
+    # the serial segment reduction is linear in channels (docs/PERF.md)
+    max_id: int = 2**31
 
     @property
     def hot_limit(self) -> int:
@@ -272,21 +280,29 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     valid = ids != INVALID_ID
     scores = jnp.where(valid, jnp.maximum(scores, 0.0), 0.0)
 
-    # occasional global decay (sketch.cpp:135: tot > s*k*10). The cond
-    # carries ONLY the leaves decay touches — val stays outside (the
-    # join copies every carried array each call, decay taken or not).
-    def _decay_leaves(args):
-        cnt, dic, free, free_top = args
-        demote = (dic != 0) & (cnt * cfg.decay < k)
-        free, free_top = push_slots(free, free_top, dic.reshape(-1),
-                                    demote.reshape(-1))
-        return (cnt * cfg.decay, jnp.where(demote, 0, dic), free,
-                free_top)
-
+    # occasional global decay (sketch.cpp:135: tot > s*k*10). Round-5
+    # restructure (profile_insert: the old cond carried cnt+dic and its
+    # join COPIED both [S, C] arrays every step, ~200 us): the decay
+    # factor applies as unconditional elementwise math that fuses into
+    # the pack kernel below — f == 1.0 multiplies bit-exactly, and
+    # `demote` is naturally all-False then because a hot cell always
+    # holds cnt >= threshold (promotion requires it; counts only grow
+    # between decays). Only the [S*C]-lane free-list push (cumsum +
+    # scatter) stays behind the cond, carrying just the small free/
+    # free_top leaves.
     do_decay = state.tot > jnp.float32(s) * k * 10.0
-    cnt, dic, free, free_top = jax.lax.cond(
-        do_decay, _decay_leaves, lambda a: a,
-        (state.cnt, state.dic, state.free, state.free_top))
+    fdec = jnp.where(do_decay, jnp.float32(cfg.decay), jnp.float32(1.0))
+    demote = (state.dic != 0) & (state.cnt * fdec < k)
+    cnt = state.cnt * fdec
+    dic = jnp.where(demote, 0, state.dic)
+
+    def _push(args):
+        free, free_top = args
+        return push_slots(free, free_top, state.dic.reshape(-1),
+                          demote.reshape(-1))
+
+    free, free_top = jax.lax.cond(
+        do_decay, _push, lambda a: a, (state.free, state.free_top))
     val = state.val
     tot = jnp.where(do_decay, 0.0, state.tot)
 
@@ -395,14 +411,38 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     cnt_new = jnp.where(matched, bc_m + gtot, place_cnt)
     cnt_bits = jax.lax.bitcast_convert_type(
         cnt_new.astype(jnp.float32), jnp.int32)
-    encT = jnp.concatenate(
-        [jnp.where(mask_p, id_s[None, :], -1),
-         jnp.where(mask_w, cnt_bits[None, :], -1)], axis=0)   # [2C, B]
-    mx = seg_max(encT.T, h_s, s)                         # [S, 2C]
-    val_rows = jnp.where(mx[:, :c] >= 0, mx[:, :c], val[:s])
-    cnt_rows = jnp.where(
-        mx[:, c:] >= 0,
-        jax.lax.bitcast_convert_type(mx[:, c:], jnp.float32), cnt[:s])
+    from ..ops.sorted_update import land_max
+    if cfg.max_id <= (1 << 27) and c <= 16:
+        # PACKED landing (round 5): the placed write is <= 1 per bucket,
+        # so (target cell, id) pack into ONE channel — C+1 channels
+        # instead of 2C through the serial segment reduction (its cost
+        # is linear in channels). Requires ids < 2^27 (cell uses the
+        # next 4 bits; 2^31 headroom).
+        enc_pl = jnp.where(placed, (use_cell << 27) | id_s, -1)  # [B]
+        encT = jnp.concatenate(
+            [enc_pl[None, :],
+             jnp.where(mask_w, cnt_bits[None, :], -1)], axis=0)
+        mx = land_max(encT.T, h_s, s, cfg.land_impl)     # [S, C+1]
+        mp = mx[:, 0]                                    # packed place
+        p_cell_row = mp >> 27
+        p_val_row = mp & ((1 << 27) - 1)
+        val_rows = jnp.where(
+            (mp[:, None] >= 0) & (p_cell_row[:, None] == cells[None, :]),
+            p_val_row[:, None], val[:s])
+        cnt_rows = jnp.where(
+            mx[:, 1:] >= 0,
+            jax.lax.bitcast_convert_type(mx[:, 1:], jnp.float32),
+            cnt[:s])
+    else:
+        encT = jnp.concatenate(
+            [jnp.where(mask_p, id_s[None, :], -1),
+             jnp.where(mask_w, cnt_bits[None, :], -1)], axis=0)  # [2C, B]
+        mx = land_max(encT.T, h_s, s, cfg.land_impl)     # [S, 2C]
+        val_rows = jnp.where(mx[:, :c] >= 0, mx[:, :c], val[:s])
+        cnt_rows = jnp.where(
+            mx[:, c:] >= 0,
+            jax.lax.bitcast_convert_type(mx[:, c:], jnp.float32),
+            cnt[:s])
 
     # ---- compact the promotion report; slots + dic update at PROMO_LANES.
     # ONE stable priority sort compacts promotions (prio 0) AND round-2
@@ -437,10 +477,17 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     # round-1-matched cell — its post-add count is inherited, standard
     # Space-Saving; round-1 promotions are respected via dic_rows.
     if cfg.insert_rounds > 1:
-        # loser lanes follow the got lanes in the priority sort; the
-        # dynamic-slice start can only clamp when n_got > B - pl, which
-        # bound <= pl <= B/2 rules out.
-        rl = lane_tab[jax.lax.dynamic_slice(order, (n_got,), (pl,))]
+        # loser lanes follow the got lanes in the priority sort. The
+        # slice start must NEVER clamp: at pl == B (batches <=
+        # PROMO_LANES) dynamic_slice(order, n_got, pl) would clamp its
+        # start back to 0 and hand round 2 the PROMOTED lanes — round 2
+        # then re-places already-matched ids, duplicating them across
+        # cells (round-5 bug fix; caught by the land-impl equivalence
+        # test's single-writer corruption). Pad instead: positions past
+        # loser.sum() are masked by l_valid, so the pad value is inert.
+        order_pad = jnp.concatenate(
+            [order, jnp.zeros((pl,), order.dtype)])
+        rl = lane_tab[jax.lax.dynamic_slice(order_pad, (n_got,), (pl,))]
         l_valid = jnp.arange(pl, dtype=jnp.int32) < loser.sum(
             dtype=jnp.int32)
         l_h = jnp.where(l_valid, rl[:, 1], s)

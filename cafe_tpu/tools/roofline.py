@@ -25,6 +25,7 @@ on-chip):
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -90,15 +91,40 @@ def main(argv=None):
         "gbs": round(bytes_moved / dt / 1e9, 1),
     }
 
-    # 2. scatter-add optimizer apply (read-modify-write)
-    dt = measure(
-        lambda c, i: sparse_sgd(c[0], i, c[1], 0.1)[0, 0],
-        (table, grads), ids_stack, iters)
+    # 2. optimizer apply (read-modify-write), two arms:
+    #    - production path ops/sparse.apply_rows — routes to the pallas
+    #      RMW kernel at these shapes (>= 2^20 rows, dim % 128 == 0);
+    #      the table is the scan CARRY so the in-place aliasing chains
+    #      across iterations without XLA defensive copies
+    #    - raw XLA scatter (sparse_sgd) for comparison
+    from cafe_tpu.ops.sparse import apply_rows
+    from cafe_tpu.utils.timing import fence
+
+    def measure_carry(upd_fn):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def window(tbl, grads_, ids_stack_):
+            def step(t, ids_i):
+                return upd_fn(t, ids_i, grads_), None
+            out, _ = jax.lax.scan(step, tbl, ids_stack_)
+            return out
+        t = window(table + 0, grads, ids_stack)
+        fence(t[0, 0])                     # compile + warm
+        t0 = time.time()
+        t = window(t, grads, ids_stack)
+        fence(t[0, 0])
+        return (time.time() - t0) / iters
+
     bytes_moved = n_ids * d * 4 * 2
-    results["optimizer_apply"] = {
-        "ms": round(dt * 1e3, 4),
-        "gbs": round(bytes_moved / dt / 1e9, 1),
-    }
+    for name, fn in (
+            ("optimizer_apply",
+             lambda t, i, g: apply_rows(t, {}, i, g, 0.1, "sgd")[0]),
+            ("optimizer_scatter",
+             lambda t, i, g: sparse_sgd(t, i, g, 0.1))):
+        dt = measure_carry(fn)
+        results[name] = {
+            "ms": round(dt * 1e3, 4),
+            "gbs": round(bytes_moved / dt / 1e9, 1),
+        }
 
     # 3. sketch query + insert at CAFE cr=0.001 sizing
     cfg = HotSketchConfig(buckets=max(rows // 1000, 1024), threshold=500.0)

@@ -74,10 +74,11 @@ def build_all(cfg: Config, train_data=None, mesh=None):
                               compute_dtype=compute_dtype, **kwargs)
     embed = build_embedding_layer(cfg, counts, cfg.embedding_dim, train_data)
     if mesh is not None and cfg.shard_embeddings \
-            and cfg.shard_exchange == "explicit":
-        active = embed.set_mesh(mesh, cfg.shard_unique_frac)
+            and cfg.shard_exchange != "auto":
+        active = embed.set_mesh(mesh, cfg.shard_unique_frac,
+                                cfg.shard_exchange)
         msg = active if active else "no part (all small/unsupported -> auto)"
-        print(f"explicit SPMD exchange on: {msg}", flush=True)
+        print(f"{cfg.shard_exchange} SPMD exchange on: {msg}", flush=True)
     state = init_state(model, embed, cfg.numpy_rand_seed, cfg.optimizer)
     return model, embed, state, build_train_step(model, embed, cfg), \
         build_eval_step(model, embed)

@@ -40,9 +40,11 @@ def pytest_configure(config):
         "whole suite)")
     config.addinivalue_line(
         "markers",
-        "slow: heavy 8-virtual-device / multi-process suites (the full "
-        "run needs >20 min on a 1-CPU box). `-m quick` (< 5 min) covers "
-        "every source module; `-m slow` runs the rest; no -m runs all")
+        "slow: heavy 8-virtual-device / multi-process suites. `-m quick` "
+        "covers every source module and runs in roughly half the full "
+        "suite's wall time (measured ~8-16 min for quick vs ~18-26 min "
+        "full, load-dependent, on a 1-CPU box); `-m slow` runs the "
+        "rest; no -m runs all")
     config.addinivalue_line(
         "markers", "quick: complement of slow, auto-applied at collection")
 

@@ -216,3 +216,60 @@ def test_analyse_recall_probes():
     assert float(analyse_tracked(cfg, st, jnp.asarray(hot_ids))) == 1.0
     cold = jnp.asarray(np.arange(5000, 5010, dtype=np.int32))
     assert float(analyse(cfg, st, cold)) == 0.0
+
+
+class TestLandImplEquivalence:
+    """The three landing implementations of the insert's B-lane segment
+    reduction (ops/sorted_update.land_max: segmax / segsum1 / scan) must
+    produce BIT-IDENTICAL sketch state — they are interchangeable
+    perf arms (tools/ab_insert_land.py), never semantic variants."""
+
+    @pytest.mark.timeout(300)
+    def test_states_bit_identical_across_impls(self):
+        rng = np.random.default_rng(0)
+        states = {}
+        # (land impl, packed-place-channel) combos: max_id < 2^27
+        # switches the landing to the packed C+1-channel encoding
+        for impl, max_id in (("segmax", 2**31), ("segsum1", 2**31),
+                             ("scan", 2**31), ("segmax", 1 << 21),
+                             ("segsum1", 1 << 21)):
+            cfg = HotSketchConfig(buckets=512, threshold=4.0,
+                                  land_impl=impl, max_id=max_id)
+            st = init_sketch(cfg)
+            r = np.random.default_rng(7)
+            for _ in range(12):
+                ids = np.minimum(r.zipf(1.3, 2048), 1 << 20).astype(
+                    np.int32)
+                sc = r.random(2048, dtype=np.float32) * 2.0
+                st, _ = sketch_insert(cfg, st, jnp.asarray(ids),
+                                      jnp.asarray(sc))
+            states[(impl, max_id)] = st
+        ref = states[("segmax", 2**31)]
+        for key, got in states.items():
+            for a, b in zip(ref, got):
+                np.testing.assert_array_equal(np.asarray(a),
+                                              np.asarray(b),
+                                              err_msg=str(key))
+
+    @pytest.mark.timeout(300)
+    def test_land_max_unit(self):
+        from cafe_tpu.ops.sorted_update import land_max
+        rng = np.random.default_rng(1)
+        b, c, n = 512, 3, 64
+        keys = np.sort(rng.integers(0, n + 2, b)).astype(np.int32)
+        enc = np.full((b, c), -1, np.int32)
+        # at most one writer per (segment, channel)
+        for s in range(n):
+            lanes = np.where(keys == s)[0]
+            if len(lanes):
+                ch = rng.integers(0, c)
+                enc[rng.choice(lanes), ch] = int(rng.integers(0, 1 << 30))
+        want = np.full((n, c), -1, np.int64)
+        for s in range(n):
+            lanes = keys == s
+            if lanes.any():
+                want[s] = enc[lanes].max(axis=0)
+        for impl in ("segmax", "segsum1", "scan"):
+            got = np.asarray(land_max(jnp.asarray(enc), jnp.asarray(keys),
+                                      n, impl))
+            np.testing.assert_array_equal(got, want, err_msg=impl)

@@ -1,6 +1,8 @@
 """CAFE+ two-tier sketch tests: staging graduation, LRU displacement,
 adaptive threshold reset, lazy decay, end-to-end with CafePart."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -311,13 +313,14 @@ class TestResetCost:
     rank over all candidate cells, hotsketch_plus._reset) must not stall
     the stream — a reset-heavy stream stays within 2x the steady-state
     stream. tools/reset_cost.py measures the same thing at CriteoTB
-    scale on chip."""
+    scale on chip.
 
-    @pytest.mark.timeout(300)
-    def test_reset_heavy_stream_within_2x_steady(self):
-        import time
-        import jax
+    Split per the round-4 advisor: the deterministic fires>=3 functional
+    check runs in the default suite; the wall-clock ratio assertion is a
+    perf test (flaky-prone on shared/loaded CI runners) gated behind
+    CAFE_RUN_PERF_TESTS=1."""
 
+    def _stream(self):
         cfg = CafePlusConfig(lim=2048, threshold=2.0)
         st0 = init_sketch_plus(cfg)
         b = 4096
@@ -328,34 +331,49 @@ class TestResetCost:
              jnp.asarray(rng.random(b, dtype=np.float32) * 4.0))
             for _ in range(12)
         ]
+        return cfg, st0, steps
 
+    def _run(self, cfg, st0, steps, heavy):
+        import jax
         trip = int(cfg.lim * 1.2)
+        st = st0
+        fires = 0
+        for ids, sc in steps:
+            if not heavy:
+                st = st._replace(real_n=jnp.asarray(0, jnp.int32))
+            fires += int(st.real_n) > trip
+            st, _ = sketch_insert_plus(cfg, st, ids, sc)
+        jax.block_until_ready(st)
+        return fires
 
-        def run(heavy):
-            st = st0
-            fires = 0
-            for ids, sc in steps:
-                if not heavy:
-                    st = st._replace(real_n=jnp.asarray(0, jnp.int32))
-                fires += int(st.real_n) > trip
-                st, _ = sketch_insert_plus(cfg, st, ids, sc)
-            jax.block_until_ready(st)
-            return fires
+    @pytest.mark.timeout(300)
+    def test_reset_heavy_stream_fires(self):
+        # the stream must actually be reset-heavy for the wall-clock
+        # bound to mean anything (low threshold + heavy-tailed zipf
+        # trips it often) — deterministic, runs in the default suite
+        cfg, st0, steps = self._stream()
+        assert self._run(cfg, st0, steps, heavy=True) >= 3
 
-        run(True)   # compile + warm
-        run(False)
-        heavy_t, steady_t, fires = [], [], 0
+    @pytest.mark.timeout(300)
+    @pytest.mark.skipif(
+        not os.environ.get("CAFE_RUN_PERF_TESTS"),
+        reason="wall-clock perf assertion; set CAFE_RUN_PERF_TESTS=1 "
+               "(flaky-prone on shared CI runners)")
+    def test_reset_heavy_stream_within_2x_steady(self):
+        import time
+
+        cfg, st0, steps = self._stream()
+        self._run(cfg, st0, steps, True)   # compile + warm
+        self._run(cfg, st0, steps, False)
+        heavy_t, steady_t = [], []
         for _ in range(3):  # interleaved windows damp CPU noise
             t0 = time.perf_counter()
-            fires = run(True)
+            self._run(cfg, st0, steps, True)
             heavy_t.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            run(False)
+            self._run(cfg, st0, steps, False)
             steady_t.append(time.perf_counter() - t0)
         heavy = float(np.median(heavy_t))
         steady = float(np.median(steady_t))
-        # the stream must actually be reset-heavy for the bound to mean
-        # anything (low threshold + heavy-tailed zipf trips it often)
-        assert fires >= 3, f"only {fires} resets fired in 12 steps"
         assert heavy <= 2.0 * steady, (
             f"reset-heavy stream {heavy:.3f}s > 2x steady {steady:.3f}s")
