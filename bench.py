@@ -161,7 +161,8 @@ def main():
         runtime."""
         model, embed, state, train_step, _ = build_all(cfg, train_data)
         if dispatch_k > 1:
-            train_step = build_multi_step(train_step, dispatch_k)
+            train_step = build_multi_step(train_step, dispatch_k,
+                                          donate=cfg.donate_state)
             fused = []
             for i in range(0, len(batches) - dispatch_k + 1, dispatch_k):
                 grp = batches[i:i + dispatch_k]

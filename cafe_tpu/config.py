@@ -60,7 +60,11 @@ class Config:
                                        # sharded step; x16 (min 4096) on a single
                                        # device. Promotions beyond it are reverted
                                        # losslessly and retry on the next touch
-    cafe_land_impl: str = "segmax"     # insert landing reduction: segmax /
+    cafe_land_impl: str = "auto"       # insert landing reduction: auto (the
+                                       # pallas flagged-scan kernel on TPU for
+                                       # sketches <= 32k buckets — cafe step
+                                       # 2.94 -> 2.31 ms on chip, bit-identical
+                                       # state; segmax elsewhere) / segmax /
                                        # segsum1 / scan (ops/sorted_update.
                                        # land_max; A/B tools/ab_insert_land.py)
     cafe_insert_interval: int = 1      # feed grad-norm scores to the sketch every
@@ -118,9 +122,15 @@ class Config:
     steps_per_dispatch: int = 1        # fuse K train steps into one jitted
                                        # call (amortizes host dispatch; print/
                                        # test cadence rounds to multiples of K)
-    donate_state: bool = False         # donate TrainState buffers to the jitted
+    donate_state: bool = True          # donate TrainState buffers to the jitted
                                        # step (in-place table updates; the old
-                                       # state is invalid after each step)
+                                       # state is invalid after each step).
+                                       # Neutral at VMEM-class dim-16 tables
+                                       # (docs/PERF.md A/B) but REQUIRED at
+                                       # HBM-class shapes: un-donated, XLA
+                                       # copies the whole table per step —
+                                       # 10.17 vs 4.84 ms/apply at CriteoTB
+                                       # dim 128 (r5 ab_apply128)
     mesh_shape: Optional[int] = None   # number of devices for the data axis; None = all
     mesh_inner: int = 0                # >0: two-level ("dcn","ici") mesh with this
                                        # many ICI-adjacent chips per inner group;

@@ -76,6 +76,13 @@ def _prev(x: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
 def land_max(enc: jnp.ndarray, sorted_keys: jnp.ndarray, n_rows: int,
              impl: str = "segmax") -> jnp.ndarray:
     """Segment-max landing for (-1)-encoded single-writer payloads:
@@ -94,7 +101,17 @@ def land_max(enc: jnp.ndarray, sorted_keys: jnp.ndarray, n_rows: int,
                  a per-row gather of each segment's END lane — fully
                  vectorized, no serial reduce at all. Segment end lanes
                  come from a 1-channel histogram cumsum.
+    * 'pallas'   ops/pallas_land.py — flagged lane-scan + MXU one-hot
+                 landing in one kernel, VMEM-resident output. TPU only,
+                 n_rows <= pallas_land.MAX_ROWS; other configs fall
+                 back to 'segmax'.
+    * 'auto'     'pallas' where available, else 'segmax'.
     """
+    if impl in ("pallas", "auto"):
+        from .pallas_land import MAX_ROWS, pallas_land_max_t
+        if n_rows <= MAX_ROWS and _on_tpu():
+            return pallas_land_max_t(enc.T, sorted_keys, n_rows).T
+        impl = "segmax"
     if impl == "segmax":
         # clamp empty segments (INT_MIN) to -1 so every impl returns the
         # same encoding (consumers only test >= 0; fused, free)

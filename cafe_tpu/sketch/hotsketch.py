@@ -60,8 +60,10 @@ class HotSketchConfig(NamedTuple):
     cells: int = 4        # C cells per bucket
     insert_rounds: int = 2  # conflict-resolution rounds for new-id placement
     # implementation of the insert's B-lane landing reduction
-    # (ops/sorted_update.land_max; A/B'd on chip, tools/ab_insert_land.py)
-    land_impl: str = "segmax"
+    # (ops/sorted_update.land_max; A/B'd on chip, tools/ab_insert_land.py;
+    # 'auto' = the pallas kernel on TPU at <= 32k buckets, segmax
+    # elsewhere — bit-identical by construction and by on-chip check)
+    land_impl: str = "auto"
     # exclusive upper bound on inserted ids, when known (CafePart passes
     # the total offset-id space). Ids below 2^27 let the landing pack
     # (cell, id) into ONE channel — C+1 landing channels instead of 2C;

@@ -408,7 +408,10 @@ class TestMultiStepDispatch:
         it = iter(batch_iterator(train, b, drop_last=True))
         batches = [next(it) for _ in range(k)]
 
-        s1 = state
+        # train_step donates its state arg (config default): run the
+        # sequential arm on a COPY so `state` survives for the k-step arm
+        import jax
+        s1 = jax.tree.map(jnp.copy, state)
         for dense, sparse, label, valid in batches:
             s1, m1 = train_step(s1, jnp.asarray(dense), jnp.asarray(sparse),
                                 jnp.asarray(label), valid)
@@ -439,8 +442,10 @@ class TestMultiStepDispatch:
                      embedding_dim=8, learning_rate=0.1)
         model, embed, state, train_step, _ = build_all(cfg, train)
         b, k, stop, total = 64, 4, 11, 27
-        # uninterrupted reference: `total` single steps
-        s_ref = state
+        # train_step donates its state arg (config default): each run
+        # gets its own copy of the initial state
+        import jax
+        s_ref = jax.tree.map(jnp.copy, state)
         it = batch_iterator(train, b, drop_last=True)
         for i, (dense, sparse, label, valid) in enumerate(it):
             if i == total:
@@ -449,7 +454,7 @@ class TestMultiStepDispatch:
                                   jnp.asarray(sparse), jnp.asarray(label),
                                   valid)
         # interrupted run: stop after 11 steps (not a multiple of 4), save
-        s = state
+        s = jax.tree.map(jnp.copy, state)
         it = batch_iterator(train, b, drop_last=True)
         for i, (dense, sparse, label, valid) in enumerate(it):
             if i == stop:

@@ -28,7 +28,7 @@ import numpy as np
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
-IMPLS = ["segmax", "segsum1", "scan"]
+IMPLS = ["segmax", "segsum1", "scan", "pallas"]
 
 
 def interleave(arms, windows, steps, fence):

@@ -77,9 +77,14 @@ def main():
                      mini_batch_size=BATCH, learning_rate=0.1,
                      optimizer="sgd", bf16=True,
                      cafe_insert_interval=8 if name.endswith("iv8") else 1)
+        import jax.numpy as jnp
+        import jax
         model, embed, state, train_step, eval_step = build_all(
             cfg, train_data)
-        results[name] = timed(train_step, state, batches)
+        # train_step donates its state input (config default); hand the
+        # timing loop a COPY so `state` stays alive for the fwd arm
+        results[name] = timed(train_step, jax.tree.map(jnp.copy, state),
+                              batches)
 
         def fwd_only(st, d, s, l, v):
             return (st, eval_step(st, d, s))
