@@ -6,35 +6,38 @@ per-lane reduce loop (~1.1 ns per lane x channel — docs/PERF.md;
 [53k, 8] costs ~430-480 us, tools/profile_insert.txt), which makes the
 landing THE largest line item of the sketch insert. With the keys
 already sorted (the insert sorts by (bucket, id) anyway) the reduction
-is computable at VMEM/VPU speed:
+is computable at VMEM/VPU speed.
 
-* grid over fixed lane tiles (TB); tiles run sequentially on the core,
-  a (carry_key, carry_max[C]) scratch continues the segment that spans
-  a tile boundary;
-* within a tile, a log2(TB)-step FLAGGED max-scan (head flags stop the
-  running max at segment starts) yields every lane's inclusive segment
-  max — vector shifts + selects, no serial loop. Every tile's LAST lane
-  lands its (possibly partial) segment max; later tiles re-land the
-  same row with a larger-or-equal value (the carry accumulates and
-  rows merge with max), so partial landings are safe;
-* landing: one-hot [TB, W] selection of segment-END lanes by
-  destination row rides the MXU as a matmul against the scanned values
-  split into exact 16-bit halves (each output row receives exactly ONE
-  lane's halves, so hi/lo recombine losslessly; Precision.HIGHEST keeps
-  the 16-bit halves exact through the MXU);
+Design (single grid step — measured: a 104-step grid pays ~4.8 us of
+per-step pipeline overhead on this chip, ~500 us of pure streaming
+overhead for 1 MB of input; one step with the whole batch VMEM-resident
+pays it once):
+
+* GLOBAL flagged max-scan over the full [C, B] payload: log2(B) steps
+  of hardware lane rotate (pltpu.roll) + select; head flags stop the
+  running max at segment starts. ~4 vector passes per step over ~1 MB
+  — tens of microseconds total;
+* the scanned values and end-lane flags park in VMEM scratch so the
+  landing loop can re-slice them at dynamic (but provably tb-aligned)
+  offsets — Mosaic supports dynamic slicing on REFS, not values;
+* landing: an in-kernel fori over lane tiles; for each tile, a one-hot
+  [W, tb] selection of segment-END lanes by destination row rides the
+  MXU against the scanned values split into exact 16-bit halves
+  (each output row receives exactly ONE lane's halves, so hi/lo
+  recombine losslessly; Precision.HIGHEST keeps the halves exact
+  through the MXU). A tile's keys may span several W-row windows
+  (sparse buckets): an inner while loop walks them — total windows
+  <= tiles + S/W;
 * values land q-ENCODED (q = enc + 1, so q == 0 means "no writer"):
-  writer-less rows come out of the matmul as 0 and merge as no-ops;
+  writer-less rows come out of the matmul as 0, decode to -1, and
+  row-merges use max, so partial/overlapping window writes are safe;
 * everything lives LANE-MINOR ([C, B] / [C, S]): a [S, C] int32 array
   in VMEM pads C up to the 128-lane tile (25x waste at C=5) while
-  [C, S] is dense. The [C, S] output stays RESIDENT in VMEM across all
-  grid steps (constant out-block index), initialized once and flushed
-  to HBM once — no per-tile HBM round trips. This caps S at a VMEM
-  budget (MAX_ROWS); larger sketches keep the XLA path
-  (ops/sorted_update.land_max falls back).
+  [C, S] is dense.
 
-Key-range handling: a tile's keys may span more than one W-row landing
-window (sparse buckets); an in-kernel while loop walks the windows
-(total windows across the batch <= tiles + S/W).
+Capacity: B x (C+1) x 4 B of payload plus the [C, S] output and one
+scanned copy must fit VMEM — MAX_LANES / MAX_ROWS gate it; other
+configs fall back to the XLA path (ops/sorted_update.land_max).
 
 Semantics (identical to land_max/'segmax'): enc [B, C] int32 >= -1,
 keys [B] int32 ascending with >= n_rows meaning dropped; returns
@@ -58,8 +61,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TB = 256            # lanes per tile (and landing-window rows W == TB)
-MAX_ROWS = 32768    # VMEM-resident output cap: 8ch x 33k x 4B ~ 1 MB
+TB = 512            # landing-window rows W == lanes per landing tile
+MAX_ROWS = 32768    # [C, S] VMEM-resident output cap
+MAX_LANES = 262144  # [C, B] payload + scanned copy VMEM cap
 
 
 def _shift_right(x, d, fill):
@@ -72,84 +76,73 @@ def _shift_right(x, d, fill):
                      pltpu.roll(x, d, x.ndim - 1))
 
 
-def _land_kernel(n_rows: int, n_ch: int, tb: int,
-                 keys_ref, q_ref, out_ref, carry_key, carry_q):
-    t = pl.program_id(0)
+def _land_kernel(n_rows: int, n_ch: int, tb: int, bp: int,
+                 keys_ref, q_ref, out_ref, sv_ref, end_ref):
+    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    @pl.when(t == 0)
-    def _():
-        out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
-        carry_key[0] = -1
-        carry_q[:] = jnp.zeros(carry_q.shape, carry_q.dtype)
+    keys = keys_ref[:]                            # [1, B] int32, sorted
+    v = q_ref[:]                                  # [C, B] int32 >= 0
 
-    keys = keys_ref[:]                            # [1, TB] int32, sorted
-    v = q_ref[:]                                  # [C, TB] int32 >= 0
-
-    # fold the carried segment into lane 0 (masked max — Mosaic has no
-    # dynamic_update_slice on values)
-    cont = keys[0, 0] == carry_key[0]
-    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, tb), 1)
-    v = jnp.maximum(v, jnp.where((lane_idx == 0) & cont, carry_q[:], 0))
-
-    # FLAGGED inclusive max-scan along lanes: f marks "a segment head
-    # lies within the last 2^step lanes" — once f is set the running max
-    # must not absorb earlier lanes. Flags ride as int32 (Mosaic's
-    # rotate/select paths want 32-bit lanes).
+    # GLOBAL flagged inclusive max-scan along all B lanes: f marks "a
+    # segment head lies within the last 2^step lanes" — once f is set
+    # the running max must not absorb earlier lanes. Flags ride int32.
     prev_keys = _shift_right(keys, 1, -1)
-    f = (keys != prev_keys).astype(jnp.int32)     # [1, TB]; lane 0: 1
+    f = (keys != prev_keys).astype(jnp.int32)     # [1, B]; lane 0: 1
     d = 1
-    while d < tb:
+    while d < bp:
         pf = _shift_right(f, d, 1)
         pv = _shift_right(v, d, 0)
         v = jnp.where(f != 0, v, jnp.maximum(v, pv))
         f = f | pf
         d *= 2
-    # v[:, l] = inclusive max of lane l's segment (tile-local + carry)
+    # v[:, l] = inclusive max of lane l's whole segment
 
-    # cross-tile carry from the LAST lane (roll right 1 brings it to
-    # lane 0 — an aligned slice; a [:, tb-1] lane slice is misaligned)
-    carry_key[0] = keys[0, tb - 1]
-    carry_q[:] = pltpu.roll(v, 1, 1)[:, 0:1]
+    # segment END lanes (the last lane of the batch is always an end)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, bp), 1)
+    next_keys = jnp.where(lane_idx == bp - 1, -1,
+                          pltpu.roll(keys, bp - 1, 1))    # keys[l+1]
+    ender = ((keys != next_keys) & (keys < n_rows)).astype(jnp.int32)
 
-    # segment END lanes; the tile's last lane always lands (partial
-    # values merge with max — see module docstring)
-    next_keys = jnp.where(lane_idx == tb - 1, -1,
-                          pltpu.roll(keys, tb - 1, 1))    # keys[l+1]
-    ender = (keys != next_keys) & (keys < n_rows)         # [1, TB]
+    # park scanned values + flags in scratch: the landing loop slices
+    # them at dynamic offsets, which Mosaic allows on refs only
+    sv_ref[:n_ch] = (v >> 16)
+    sv_ref[n_ch:] = (v & 0xFFFF)
+    end_ref[:] = ender
 
-    k_min = keys[0, 0]
-    k_max = jnp.max(jnp.where(keys < n_rows, keys, 0))
-    any_valid = keys[0, 0] < n_rows               # sorted: lane 0 first
-
-    halves = jnp.concatenate(
-        [(v >> 16).astype(jnp.float32),
-         (v & 0xFFFF).astype(jnp.float32)], axis=0)      # [2C, TB]
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (tb, tb), 0)
 
-    def window_body(j):
-        # tb-ALIGNED windows (w0 = j * tb): Mosaic must statically prove
-        # the out slice start is a 128-multiple — j * 256 is, an
-        # arbitrary k_min is not
-        w0 = j * tb
-        # eq2[w, l] = lane l lands row w0 + w; both operands contract
-        # over the LANE dim (no transposes — Mosaic relayouts are the
-        # enemy here)
-        eq2 = ((keys - w0) == rows_iota) & ender          # [W, TB]
-        blk = jax.lax.dot_general(
-            halves, eq2.astype(jnp.float32),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)          # [2C, W]
-        bi = (blk[:n_ch].astype(jnp.int32) << 16) | \
-            blk[n_ch:].astype(jnp.int32)                  # [C, W] exact
-        cur = out_ref[:, pl.ds(w0, tb)]
-        out_ref[:, pl.ds(w0, tb)] = jnp.maximum(cur, bi)
-        return j + 1
+    def tile_body(j, _):
+        t0 = j * tb
+        tkeys = keys_ref[:, pl.ds(t0, tb)]                # [1, tb]
+        halves = sv_ref[:, pl.ds(t0, tb)].astype(jnp.float32)
+        tend = end_ref[:, pl.ds(t0, tb)] != 0             # [1, tb]
+        k_min = tkeys[0, 0]
+        k_max = jnp.max(jnp.where(tkeys < n_rows, tkeys, 0))
+        any_valid = k_min < n_rows                 # sorted: lane 0 first
 
-    @pl.when(any_valid)
-    def _():
-        jax.lax.while_loop(lambda j: j * tb <= k_max, window_body,
-                           k_min // tb)
+        def window_body(w):
+            w0 = w * tb
+            # eq2[r, l] = lane l lands row w0 + r; contraction over the
+            # LANE dim on both operands (no transposes)
+            eq2 = ((tkeys - w0) == rows_iota) & tend      # [W, tb]
+            blk = jax.lax.dot_general(
+                halves, eq2.astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # [2C, W]
+            bi = (blk[:n_ch].astype(jnp.int32) << 16) | \
+                blk[n_ch:].astype(jnp.int32)              # [C, W] exact
+            cur = out_ref[:, pl.ds(w0, tb)]
+            out_ref[:, pl.ds(w0, tb)] = jnp.maximum(cur, bi)
+            return w + 1
+
+        @pl.when(any_valid)
+        def _():
+            jax.lax.while_loop(lambda w: w * tb <= k_max, window_body,
+                               k_min // tb)
+        return 0
+
+    jax.lax.fori_loop(0, bp // tb, tile_body, 0)
 
 
 @functools.partial(jax.jit,
@@ -169,27 +162,18 @@ def pallas_land_max_t(encT: jnp.ndarray, keys: jnp.ndarray, n_rows: int,
     sp = ((n_rows + tb - 1) // tb) * tb + tb      # window overrun room
     keys = jnp.minimum(keys.astype(jnp.int32), sp - tb)  # never past pad
     q = encT.astype(jnp.int32) + 1
-    n_tiles = bp // tb
 
     out = pl.pallas_call(
-        functools.partial(_land_kernel, n_rows, c, tb),
+        functools.partial(_land_kernel, n_rows, c, tb, bp),
         out_shape=jax.ShapeDtypeStruct((c, sp), jnp.int32),
-        grid=(n_tiles,),
         in_specs=[
-            # keys in ROW form [1, bp]: block (1, tb) with a unit
-            # second-minor dim EQUAL to the array's (the (8, 128) rule
-            # allows equality)
-            pl.BlockSpec((1, tb), lambda t: (0, t),
-                         memory_space=pltpu.VMEM),
-            # column slices of the [C, B] payload — no host transpose
-            pl.BlockSpec((c, tb), lambda t: (0, t),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # keys [1, B]
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # q [C, B]
         ],
-        out_specs=pl.BlockSpec((c, sp), lambda t: (0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((c, 1), jnp.int32),
+            pltpu.VMEM((2 * c, bp), jnp.int32),       # 16-bit halves
+            pltpu.VMEM((1, bp), jnp.int32),           # end flags
         ],
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(keys[None, :], q)

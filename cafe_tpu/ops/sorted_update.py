@@ -108,8 +108,9 @@ def land_max(enc: jnp.ndarray, sorted_keys: jnp.ndarray, n_rows: int,
     * 'auto'     'pallas' where available, else 'segmax'.
     """
     if impl in ("pallas", "auto"):
-        from .pallas_land import MAX_ROWS, pallas_land_max_t
-        if n_rows <= MAX_ROWS and _on_tpu():
+        from .pallas_land import MAX_LANES, MAX_ROWS, pallas_land_max_t
+        if n_rows <= MAX_ROWS and enc.shape[0] <= MAX_LANES \
+                and _on_tpu():
             return pallas_land_max_t(enc.T, sorted_keys, n_rows).T
         impl = "segmax"
     if impl == "segmax":
