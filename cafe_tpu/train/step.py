@@ -193,15 +193,39 @@ def build_quantized_eval_step(model, embed_layer, state: TrainState,
         state.embed[f"part{i}"], bits)
         for i, p in enumerate(embed_layer.parts)}
 
+    # the quantized tables ride as ARGUMENTS, not closure constants: a
+    # closed-over device array is baked into the compiled program —
+    # hundreds of MB of HLO constants at CriteoTB shapes (the tunnel's
+    # remote-compile rejects the program outright with HTTP 413) and
+    # this runtime executes constant-embedding programs up to ~50x
+    # slower (docs/PERF.md). `bits` is STATIC metadata (branches on it
+    # in ops/quantized.dequantize_rows) — strip it from the traced
+    # pytree and reattach the closed-over int inside the trace.
+    from ..ops.quantized import QuantizedTable
+
+    def _map_qt(fn, tree):
+        return jax.tree.map(
+            lambda t: fn(t) if isinstance(t, QuantizedTable) else t,
+            tree, is_leaf=lambda x: isinstance(x, QuantizedTable))
+
+    qtables_stripped = _map_qt(lambda t: t._replace(bits=None), qtables)
+
     @jax.jit
-    def eval_step(st: TrainState, dense_x, ids):
+    def _eval_step(st: TrainState, qt, dense_x, ids):
+        qt = _map_qt(lambda t: t._replace(bits=bits), qt)
         feats = []
         for i, p in enumerate(embed_layer.parts):
             cols = ids[:, np.asarray(p.field_idx)]
             raw = p.gather_quantized(st.embed[f"part{i}"],
-                                     qtables[f"part{i}"], cols)
+                                     qt[f"part{i}"], cols)
             feats.append(p.transform(st.embed_dense[f"part{i}"], raw))
         feats = jnp.concatenate(feats, axis=1)[:, embed_layer._perm]
         return model.apply(st.params, dense_x, feats)
 
+    def eval_step(st: TrainState, dense_x, ids):
+        return _eval_step(st, qtables_stripped, dense_x, ids)
+
+    # keep the jitted surface (the HLO audits .lower() the serving step)
+    eval_step.lower = lambda st, dense_x, ids: _eval_step.lower(
+        st, qtables_stripped, dense_x, ids)
     return eval_step
