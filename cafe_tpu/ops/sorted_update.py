@@ -83,6 +83,20 @@ def _on_tpu() -> bool:
         return False
 
 
+def use_scatter_landing(impl: str, n_rows: int) -> bool:
+    """Scatter landing mode (hotsketch.sketch_insert): update the
+    [S, C] cell arrays with per-touched-cell scatters instead of
+    landing + merging [S, C]-shaped intermediates. Bit-identical
+    semantics (tests/test_sketch.py::TestLandImplEquivalence) but
+    MEASURED SLOWER on chip at CriteoTB sizes (sketch+migration 6.24 ms
+    vs the landing path's 4.35: inside the step each .at[] scatter on a
+    still-referenced [1.6M, C] array pays a full-table copy before the
+    serial per-lane update, where the landing path's where-merges fuse
+    the copy with the update) — so 'auto' never selects it; it stays a
+    selectable arm for A/B and for shapes where the trade may flip."""
+    return impl == "scatter"
+
+
 def land_max(enc: jnp.ndarray, sorted_keys: jnp.ndarray, n_rows: int,
              impl: str = "segmax") -> jnp.ndarray:
     """Segment-max landing for (-1)-encoded single-writer payloads:

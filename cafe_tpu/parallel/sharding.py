@@ -104,7 +104,13 @@ def shard_train_step(train_step, mesh: Mesh, state: Any,
     `state` accordingly. Returns (sharded_step, placed_state).
 
     `donate` re-applies state-buffer donation (the original jit's
-    donate_argnums is lost when re-jitting the unwrapped function)."""
+    donate_argnums is lost when re-jitting the unwrapped function).
+
+    NOTE: device_put ALIASES leaves whose sharding already matches
+    (replicated scalars/dense params on a fresh state), so placed_state
+    may share buffers with `state`. Callers that keep stepping the
+    ORIGINAL state through a donating step (A/B tests) must hand this
+    function a copy (jax.tree.map(jnp.copy, state))."""
     st_sh = state_shardings(state, mesh, shard_embeddings)
     dense_sh, ids_sh, lab_sh, val_sh = batch_shardings(mesh)
     placed = jax.device_put(state, st_sh)

@@ -61,8 +61,9 @@ class HotSketchConfig(NamedTuple):
     insert_rounds: int = 2  # conflict-resolution rounds for new-id placement
     # implementation of the insert's B-lane landing reduction
     # (ops/sorted_update.land_max; A/B'd on chip, tools/ab_insert_land.py;
-    # 'auto' = the pallas kernel on TPU at <= 32k buckets, segmax
-    # elsewhere — bit-identical by construction and by on-chip check)
+    # 'auto' = the pallas kernel on TPU at <= 32k buckets, O(touched)
+    # scatters above that (use_scatter_landing), segmax elsewhere —
+    # all bit-identical by construction and by test/on-chip check)
     land_impl: str = "auto"
     # exclusive upper bound on inserted ids, when known (CafePart passes
     # the total offset-id space). Ids below 2^27 let the landing pack
@@ -334,13 +335,21 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     from ..ops.sorted_update import seg_max
     cells = jnp.arange(c, dtype=jnp.int32)
     cellsT = cells[:, None]                              # [C, 1]
-    prowT = _pack_cells(val, cnt, dic)[hsafe].T          # [3C, B]
+    # pack the PRE-decay state arrays — the exact op the fwd query's
+    # query_cells builds from the same inputs, so XLA CSE shares ONE
+    # [S, 3C] materialization per step (at CriteoTB sizes the pack
+    # alone is a 77 MB / ~440 us pass; profile_train_128.txt showed it
+    # twice). Decay then applies PER-LANE to the gathered rows below —
+    # bit-identical to decaying the table first (same f32 multiply on
+    # the same values; the demote rule mirrors the state-side one).
+    prowT = _pack_cells(state.val, state.cnt, state.dic)[hsafe].T
     # force ONE materialization: without the barrier XLA rematerializes
     # the 53k-row gather inside every consumer fusion (~40 us each)
     prowT = jax.lax.optimization_barrier(prowT)
     bv = prowT[:c]
-    bc = jax.lax.bitcast_convert_type(prowT[c:2 * c], jnp.float32)
-    bd = prowT[2 * c:]
+    bc = jax.lax.bitcast_convert_type(prowT[c:2 * c], jnp.float32) * fdec
+    bd0 = prowT[2 * c:]
+    bd = jnp.where((bd0 != 0) & (bc < k), 0, bd0)
     occ = bc > 0.0
     m = occ & (bv == id_s[None, :])                      # [C, B]
     m_any = m.any(axis=0)
@@ -413,8 +422,32 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     cnt_new = jnp.where(matched, bc_m + gtot, place_cnt)
     cnt_bits = jax.lax.bitcast_convert_type(
         cnt_new.astype(jnp.float32), jnp.int32)
-    from ..ops.sorted_update import land_max
-    if cfg.max_id <= (1 << 27) and c <= 16:
+    from ..ops.sorted_update import land_max, use_scatter_landing
+    scatter_mode = use_scatter_landing(cfg.land_impl, s)
+    if scatter_mode:
+        # SCATTER landing (round 5, big-S mode): every landing/merge
+        # above works on [S, C]-shaped intermediates — at CriteoTB
+        # sketch sizes (S ~ 1.6M) each segment reduction materializes a
+        # 51 MB output and each where-merge streams 26 MB, ~1.8 ms of
+        # O(S) traffic per insert (docs/r5_measurements/
+        # profile_train_128.txt). Updates touch <= B cells, so scatter
+        # them in place instead (O(touched)); bit-identical to the
+        # landing path (tests/test_sketch.py::TestLandImplEquivalence):
+        # * cnt: one row scatter-MAX — the new count strictly exceeds
+        #   the cell's old value in every write case (matched adds
+        #   gtot > 0; placements inherit the victim's count + gtot), so
+        #   max == set, and non-written cells keep their value via the
+        #   -1 payload;
+        # * val: winners are <= 1 per bucket — an element scatter-set;
+        # * dic (below): the compacted PROMO_LANES report scatters
+        #   directly instead of the dmx segment-max + [S, C] merge.
+        cnt_pay = jnp.where(mask_w.T, cnt_new[:, None].astype(cnt.dtype),
+                            -1.0)                              # [B, C]
+        cnt = cnt.at[jnp.where(ok, h_s, sp)].max(cnt_pay, mode="drop")
+        val = val.at[jnp.where(placed, h_s, sp), use_cell].set(
+            id_s, mode="drop")
+        val_rows = cnt_rows = None
+    elif cfg.max_id <= (1 << 27) and c <= 16:
         # PACKED landing (round 5): the placed write is <= 1 per bucket,
         # so (target cell, id) pack into ONE channel — C+1 channels
         # instead of 2C through the serial segment reduction (its cost
@@ -467,10 +500,17 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
     r_c = rp[:, 3]
     slot = jnp.where(presp, free[jnp.clip(ft0 - r_c, 0,
                                           free.shape[0] - 1)], 0)
-    dic_enc = jnp.where(presp[:, None] & (p_cell[:, None] == cells),
-                        slot[:, None], -1)
-    dmx = seg_max(dic_enc, p_h, s)                       # tiny: pl lanes
-    dic_rows = jnp.where(dmx >= 0, dmx, dic[:s])
+    if scatter_mode:
+        # direct scatter of the compacted report (unique (bucket, cell)
+        # per promotion) instead of the dmx segment-max + [S, C] merge
+        dic = dic.at[jnp.where(presp, p_h, sp), p_cell].set(
+            slot, mode="drop")
+        dic_rows = None
+    else:
+        dic_enc = jnp.where(presp[:, None] & (p_cell[:, None] == cells),
+                            slot[:, None], -1)
+        dmx = seg_max(dic_enc, p_h, s)                   # tiny: pl lanes
+        dic_rows = jnp.where(dmx >= 0, dmx, dic[:s])
 
     # ---- round 2: losing new-id groups retry against the MATERIALIZED
     # round-1 arrays (pure placement; pre-merged duplicates can never
@@ -496,9 +536,18 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
         l_hsafe = jnp.minimum(l_h, s - 1)
         l_id = rl[:, 0]
         l_g = jax.lax.bitcast_convert_type(rl[:, 4], jnp.float32)
-        prow2 = _pack_cells(val_rows, cnt_rows, dic_rows)[l_hsafe]
-        bc2 = jax.lax.bitcast_convert_type(prow2[:, c:2 * c], jnp.float32)
-        bd2 = prow2[:, 2 * c:]
+        if scatter_mode:
+            # read the post-scatter arrays directly: three pl-lane
+            # gathers instead of an O(S) _pack_cells materialization
+            # (the data dependency on the scatters above preserves the
+            # round-1 -> round-2 ordering)
+            bc2 = cnt[l_hsafe]
+            bd2 = dic[l_hsafe]
+        else:
+            prow2 = _pack_cells(val_rows, cnt_rows, dic_rows)[l_hsafe]
+            bc2 = jax.lax.bitcast_convert_type(prow2[:, c:2 * c],
+                                               jnp.float32)
+            bd2 = prow2[:, 2 * c:]
         occ2 = bc2 > 0.0
         prev_l_bucket = _prev(jax.lax.cummax(jnp.where(l_valid, l_h, -1)),
                               -1)
@@ -512,22 +561,29 @@ def sketch_insert(cfg: HotSketchConfig, state: HotSketchState,
         placed2 = winner2 & (has_e2 | can_e2)
         bc_u2 = jnp.sum(jnp.where(use2[:, None] == cells, bc2, 0.0),
                         axis=1)
-        cb2 = jax.lax.bitcast_convert_type(
-            (bc_u2 + l_g).astype(jnp.float32), jnp.int32)
-        mask_p2 = placed2[:, None] & (use2[:, None] == cells)
-        enc2 = jnp.concatenate(
-            [jnp.where(mask_p2, l_id[:, None], -1),
-             jnp.where(mask_p2, cb2[:, None], -1)], axis=1)
-        mx2 = seg_max(enc2, l_h, s)    # l_h sorted (stable prio sort)
-        val_rows = jnp.where(mx2[:, :c] >= 0, mx2[:, :c], val_rows)
-        cnt_rows = jnp.where(
-            mx2[:, c:] >= 0,
-            jax.lax.bitcast_convert_type(mx2[:, c:], jnp.float32),
-            cnt_rows)
+        if scatter_mode:
+            h2 = jnp.where(placed2, l_h, sp)
+            val = val.at[h2, use2].set(l_id, mode="drop")
+            cnt = cnt.at[h2, use2].set(
+                (bc_u2 + l_g).astype(cnt.dtype), mode="drop")
+        else:
+            cb2 = jax.lax.bitcast_convert_type(
+                (bc_u2 + l_g).astype(jnp.float32), jnp.int32)
+            mask_p2 = placed2[:, None] & (use2[:, None] == cells)
+            enc2 = jnp.concatenate(
+                [jnp.where(mask_p2, l_id[:, None], -1),
+                 jnp.where(mask_p2, cb2[:, None], -1)], axis=1)
+            mx2 = seg_max(enc2, l_h, s)  # l_h sorted (stable prio sort)
+            val_rows = jnp.where(mx2[:, :c] >= 0, mx2[:, :c], val_rows)
+            cnt_rows = jnp.where(
+                mx2[:, c:] >= 0,
+                jax.lax.bitcast_convert_type(mx2[:, c:], jnp.float32),
+                cnt_rows)
 
-    cnt = jnp.concatenate([cnt_rows, cnt[s:]], axis=0)
-    val = jnp.concatenate([val_rows, val[s:]], axis=0)
-    dic = jnp.concatenate([dic_rows, dic[s:]], axis=0)
+    if not scatter_mode:
+        cnt = jnp.concatenate([cnt_rows, cnt[s:]], axis=0)
+        val = jnp.concatenate([val_rows, val[s:]], axis=0)
+        dic = jnp.concatenate([dic_rows, dic[s:]], axis=0)
 
     new_state = HotSketchState(
         val=val, cnt=cnt, dic=dic, free=free, free_top=free_top,

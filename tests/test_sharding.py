@@ -37,8 +37,13 @@ def test_sharded_step_matches_single_device(setup):
     cfg, train = setup
     model, embed, state, train_step, _ = build_all(cfg, train)
     mesh = make_mesh(8)
-    sharded_step, sh_state = shard_train_step(train_step, mesh, state,
-                                              shard_embeddings=True)
+    # device_put aliases buffers whose sharding already matches, and
+    # train_step donates its state arg (config default) — give the
+    # sharded arm its own copy so the single-device arm's donation
+    # cannot delete shared leaves
+    sharded_step, sh_state = shard_train_step(
+        train_step, mesh, jax.tree.map(jnp.copy, state),
+        shard_embeddings=True)
     batches = list(batch_iterator(train, 64, drop_last=True))[:5]
     for dense, sparse, label, valid in batches:
         args = (jnp.asarray(dense), jnp.asarray(sparse), jnp.asarray(label),

@@ -232,7 +232,8 @@ class TestLandImplEquivalence:
         # switches the landing to the packed C+1-channel encoding
         for impl, max_id in (("segmax", 2**31), ("segsum1", 2**31),
                              ("scan", 2**31), ("segmax", 1 << 21),
-                             ("segsum1", 1 << 21)):
+                             ("segsum1", 1 << 21), ("scatter", 2**31),
+                             ("scatter", 1 << 21)):
             cfg = HotSketchConfig(buckets=512, threshold=4.0,
                                   land_impl=impl, max_id=max_id)
             st = init_sketch(cfg)

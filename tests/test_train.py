@@ -333,7 +333,9 @@ class TestQuantizedInference:
                                             quantize_rowwise)
         table = jnp.asarray(np.arange(32, dtype=np.float32).reshape(2, 16))
         qt = quantize_rowwise(table, 4)
-        assert qt.codes.shape == (2, 8)
+        # packed row layout: 8 nibble-pair bytes + 4 scale + 4 zero
+        # bytes (ops/quantized.py module doc)
+        assert qt.codes.shape == (2, 16) and qt.codes.dtype == jnp.uint8
         out = dequantize_rows(qt, jnp.asarray([0, 1]))
         np.testing.assert_allclose(np.asarray(out), np.asarray(table),
                                    atol=0.6)
