@@ -62,7 +62,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TB = 512            # landing-window rows W == lanes per landing tile
-MAX_ROWS = 32768    # [C, S] VMEM-resident output cap
+MAX_ROWS = 131072   # [C, S] VMEM-resident output cap (8ch x 131k x 4 B
+#                     ~ 4 MB; oracle-validated on chip at 65k and 131k)
 MAX_LANES = 262144  # [C, B] payload + scanned copy VMEM cap
 
 
