@@ -47,4 +47,18 @@ stage roofline timeout 1200 python -m cafe_tpu.tools.roofline
 stage reset_cost timeout 1200 python tools/reset_cost.py \
     --lim 1000000 --batch 53248
 
+# 7 — landing-implementation A/B + pallas kernel checks (added after
+#     the one-pass landing kernel landed mid-round).
+stage ab_insert_land timeout 2400 python tools/ab_insert_land.py
+stage pallas_land_check timeout 1200 python tools/pallas_land_check.py
+stage ab_apply128 timeout 1200 python tools/ab_apply128.py
+stage pallas_a2a_smoke timeout 900 python tools/pallas_a2a_smoke.py
+
+# 8 — serving protocol: fp32 vs int8 test ms/it at batch 16384.
+stage serving_bench timeout 2400 python tools/serving_bench.py \
+    --out "$OUT/serving_bench.jsonl"
+
+# 9 — the headline (runs last so every kernel above is warm-validated).
+stage bench timeout 1800 python bench.py
+
 log "queue done — artifacts in $OUT"
