@@ -656,7 +656,15 @@ class CafePart(Part):
         return out, stats
 
     def quantize_for_serving(self, state: Dict, bits: int) -> Dict:
-        return {"table": self._quantize(state["table"], bits)}
+        out = {"table": self._quantize(state["table"], bits)}
+        if self.mesh is None and self.n_shards == 1 and not self.plus:
+            # freeze-time packed sketch view: the serving query re-packs
+            # the [S, 3C] cell view per eval otherwise (~440 us at
+            # CriteoTB sizes; hotsketch.query_cells_packed)
+            from ..sketch.hotsketch import _pack_cells
+            sk = state["sketch"]
+            out["sk_packed"] = _pack_cells(sk.val, sk.cnt, sk.dic)
+        return out
 
     def gather_quantized(self, state: Dict, qt: Dict, ids: jnp.ndarray):
         """Same sketch routing as gather; row fetch dequantizes on-chip.
@@ -669,6 +677,10 @@ class CafePart(Part):
             qfn = query_sharded_plus if self.plus else query_sharded
             q = qfn(self.sketch_cfg, self.n_shards, state["sketch"],
                     oids.reshape(-1)).reshape(b, f)
+        elif "sk_packed" in qt:
+            from ..sketch.hotsketch import query_cells_packed
+            q = query_cells_packed(self.sketch_cfg, qt["sk_packed"],
+                                   oids.reshape(-1)).reshape(b, f)
         else:
             q = self._sk_query(self.sketch_cfg, state["sketch"],
                                oids.reshape(-1)).reshape(b, f)

@@ -132,9 +132,18 @@ def query_cells(cfg: HotSketchConfig, val: jnp.ndarray, cnt: jnp.ndarray,
                 dic: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """Query against raw cell arrays (shard-local slices use this inside
     shard_map where no full HotSketchState exists)."""
-    c = val.shape[1]
+    return query_cells_packed(cfg, _pack_cells(val, cnt, dic), ids)
+
+
+def query_cells_packed(cfg: HotSketchConfig, packed: jnp.ndarray,
+                       ids: jnp.ndarray) -> jnp.ndarray:
+    """Query against a PRE-PACKED [R, 3C] cell view. Serving paths pack
+    once at model-freeze time (the [S, 3C] pack is an O(S) pass —
+    ~440 us per call at CriteoTB sizes — pointless to repeat when the
+    sketch is frozen; training shares the insert's pack via CSE)."""
+    c = packed.shape[1] // 3
     h = _bucket_of(cfg, ids)
-    prow = _pack_cells(val, cnt, dic)[h]   # [B, 3C] one wide-row gather
+    prow = packed[h]                       # [B, 3C] one wide-row gather
     bv = prow[:, :c]
     bcbits = prow[:, c:2 * c]              # cnt > 0 <=> bits > 0 (cnt >= 0)
     bd = prow[:, 2 * c:]
