@@ -159,7 +159,10 @@ class Config:
     sparse_apply_impl: str = "auto"    # sgd sparse apply: auto (pallas RMW
                                        # kernel for HBM-class tables on TPU,
                                        # XLA scatter otherwise) / scatter /
-                                       # pallas (ops/sparse.apply_rows)
+                                       # pallas / dense (MXU row-sum kernel,
+                                       # VMEM-class tables; loses in-step
+                                       # unless updates arrive pre-sorted —
+                                       # see ops/sparse._use_dense_rowsum)
     # multi-host (pod) execution: every process runs the same program;
     # jax.distributed stitches their local chips into one global mesh and
     # each process feeds its slice of every batch (SURVEY.md §2.6 — the

@@ -177,6 +177,29 @@ def _use_pallas_apply(n_rows: int, dim: int) -> bool:
     if not PALLAS_APPLY_AUTO or n_rows < PALLAS_APPLY_MIN_ROWS \
             or dim % 128 != 0:
         return False
+    return _on_tpu()
+
+
+def _use_dense_rowsum(n_rows: int, dim: int, lanes: int) -> bool:
+    """VMEM-class SGD apply via the dense MXU row-sum kernel
+    (ops/pallas_rowsum.py). The KERNEL beats the scatter loop (~162 vs
+    ~419 us at bench shapes) but the full path LOSES in-step: the
+    per-call sort + permutation gather + [B, D] -> [D, B] transpose it
+    needs are loop-invariant in a standalone A/B (XLA hoists them — a
+    measurement trap) and cost more than the scatter saves when paid
+    every step (BENCH with it auto-wired: 970 K vs 1,179 K ex/s).
+    Explicit opt-in only (sparse_apply_impl='dense') for workloads
+    whose update stream arrives pre-sorted."""
+    if APPLY_IMPL != "dense":
+        return False
+    from .pallas_rowsum import MAX_LANES, MAX_OUT_BYTES
+    if dim % 8 != 0 or n_rows * dim * 4 > MAX_OUT_BYTES \
+            or lanes > MAX_LANES or dim * lanes * 4 > (8 << 20):
+        return False
+    return _on_tpu()
+
+
+def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover - backend init failure
@@ -203,6 +226,10 @@ def apply_rows(table: jnp.ndarray, slots: dict, idx: jnp.ndarray,
         from .pallas_apply import pallas_scatter_add
         upd = (-lr * grad).astype(table.dtype)
         return pallas_scatter_add(table, idx, upd), {}
+    if optimizer == "sgd" and _use_dense_rowsum(*table.shape,
+                                                idx.shape[0]):
+        from .pallas_rowsum import sparse_add_dense
+        return sparse_add_dense(table, idx, -lr * grad), {}
     if table_pass is None:
         if optimizer == "sgd":
             table_pass = False
