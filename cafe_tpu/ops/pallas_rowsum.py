@@ -49,7 +49,6 @@ MAX_LANES = 262144
 def _rowsum_kernel(n_rows: int, tb: int, bp: int,
                    keys_ref, g_ref, out_ref):
     out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
-    keys = keys_ref[:]                            # [1, B] int32 sorted
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (tb, tb), 0)
 
     def tile_body(j, _):
@@ -80,8 +79,6 @@ def _rowsum_kernel(n_rows: int, tb: int, bp: int,
         return 0
 
     jax.lax.fori_loop(0, bp // tb, tile_body, 0)
-
-    del keys
 
 
 @functools.partial(jax.jit, static_argnames=("n_rows", "tb"))
